@@ -1,0 +1,395 @@
+"""StyleGAN2-style primitive layers (flax.linen, NHWC, channel-last).
+
+Behavioural contract: exp/cips3d/models/model_v3.py:32-519 (the same layers
+are duplicated in models/layers.py of the reference). Initialisation
+distributions are matched exactly so training-from-scratch dynamics carry
+over; runtime weight scaling (the "equalised lr" trick) is kept because the
+released checkpoints depend on it.
+
+Kernels are stored channel-last: Dense kernels (in, out), conv kernels
+(kh, kw, in, out). The torch-checkpoint importer transposes accordingly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import fused_leaky_relu, upfirdn2d, make_blur_kernel, upsample2x
+from ..ops.modulated import modulated_matmul, modulated_conv2d, _modulate_weights_kxk
+
+
+# ---------------------------------------------------------------------------
+# initialisers (torch-distribution equivalents, fan_in = shape[0] for (in,out))
+# ---------------------------------------------------------------------------
+
+
+def kaiming_normal_leaky(a: float = 0.2, mul: float = 1.0):
+    """torch kaiming_normal_(a, fan_in, leaky_relu) on an (in, out) kernel."""
+
+    def init(key, shape, dtype=jnp.float32):
+        fan_in = shape[0] if len(shape) == 2 else int(np.prod(shape[:-1]))
+        gain = np.sqrt(2.0 / (1.0 + a * a))
+        std = gain / np.sqrt(fan_in) * mul
+        return std * jax.random.normal(key, shape, dtype)
+
+    return init
+
+
+def uniform_fan_in(mul: float = 1.0):
+    """U(-sqrt(1/fan_in), sqrt(1/fan_in)) — torch Linear/Conv bias default."""
+
+    def init(key, shape, dtype=jnp.float32, fan_in=None):
+        raise NotImplementedError  # use uniform_bound with explicit fan_in
+
+    return init
+
+
+def uniform_bound(bound: float):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def normal_div(lr_mul: float = 1.0):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) / lr_mul
+
+    return init
+
+
+# ---------------------------------------------------------------------------
+# basic layers
+# ---------------------------------------------------------------------------
+
+
+def pixel_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """x * rsqrt(mean(x^2) + 1e-8) over channels (model_v3.py:32-37)."""
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x), axis=-1, keepdims=True) + 1e-8)
+
+
+class EqualLinear(nn.Module):
+    """Equalised-lr linear (model_v3.py:183-215).
+
+    weight ~ N(0,1)/lr_mul; runtime scale (1/sqrt(in))*lr_mul; bias stored
+    unscaled, multiplied by lr_mul at use. activation='fused_lrelu' applies
+    bias inside fused_leaky_relu (scale sqrt(2))."""
+
+    out_dim: int
+    bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+    activation: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        w = self.param("weight", normal_div(self.lr_mul), (in_dim, self.out_dim))
+        scale = (1.0 / np.sqrt(in_dim)) * self.lr_mul
+        b = None
+        if self.bias:
+            b = self.param(
+                "bias",
+                lambda k, s: jnp.full(s, self.bias_init, jnp.float32),
+                (self.out_dim,),
+            )
+        out = jnp.dot(x, w * scale, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.activation == "fused_lrelu":
+            out = fused_leaky_relu(out, b * self.lr_mul if b is not None else None)
+        elif b is not None:
+            out = out + b * self.lr_mul
+        return out
+
+
+class MappingLinear(nn.Module):
+    """NeRF-mapping linear (model_v3.py:40-65): kaiming-normal init baked into
+    the weights (no runtime scaling), lrelu with scale=1."""
+
+    out_dim: int
+    use_bias: bool = True
+    activation: str | None = None
+    is_last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        std_mul = 0.25 if self.is_last else 1.0
+        w = self.param(
+            "weight", kaiming_normal_leaky(0.2, std_mul), (in_dim, self.out_dim)
+        )
+        b = None
+        if self.use_bias:
+            b = self.param(
+                "bias", uniform_bound(np.sqrt(1.0 / in_dim)), (self.out_dim,)
+            )
+        out = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.activation is not None:
+            out = fused_leaky_relu(out, b, scale=1.0)
+        elif b is not None:
+            out = out + b
+        return out
+
+
+class EqualConv2d(nn.Module):
+    """Equalised-lr conv, NHWC (model_v3.py:145-180)."""
+
+    out_channel: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        k = self.kernel_size
+        w = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s, jnp.float32),
+            (k, k, cin, self.out_channel),
+        )
+        scale = 1.0 / np.sqrt(cin * k * k)
+        out = jax.lax.conv_general_dilated(
+            x,
+            (w * scale).astype(x.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
+            out = out + b
+        return out
+
+
+class Blur(nn.Module):
+    """FIR blur with fixed pads (model_v3.py:126-142)."""
+
+    pad: tuple
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    upsample_factor: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = make_blur_kernel(tuple(self.blur_kernel), self.upsample_factor)
+        return upfirdn2d(x, k, pad=self.pad)
+
+
+class ConvLayer(nn.Module):
+    """[Blur] -> EqualConv2d -> [FusedLeakyReLU] (model_v3.py:485-519)."""
+
+    out_channel: int
+    kernel_size: int
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    use_bias: bool = True
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            x = Blur(pad=(pad0, pad1), blur_kernel=self.blur_kernel)(x)
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, self.kernel_size // 2
+        x = EqualConv2d(
+            self.out_channel,
+            self.kernel_size,
+            stride=stride,
+            padding=padding,
+            use_bias=self.use_bias and not self.activate,
+        )(x)
+        if self.activate:
+            b = (
+                self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
+                if self.use_bias
+                else None
+            )
+            x = fused_leaky_relu(x, b)
+        return x
+
+
+# ---------------------------------------------------------------------------
+# modulated conv stack
+# ---------------------------------------------------------------------------
+
+
+class ModulatedConv2d(nn.Module):
+    """Style-modulated conv (model_v3.py:218-314), NHWC.
+
+    kernel_size=1 (the v10 flagship path) runs as a per-pixel batched matmul;
+    upsample inserts a stride-2 transposed conv + gain-4 blur; k>1 uses the
+    groups=batch conv. Weight stored (kh, kw, in, out)."""
+
+    out_channel: int
+    kernel_size: int
+    demodulate: bool = True
+    upsample: bool = False
+    downsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, style):
+        b, h, w_sp, cin = x.shape
+        k = self.kernel_size
+        weight = self.param(
+            "weight",
+            lambda key, s: jax.random.normal(key, s, jnp.float32),
+            (k, k, cin, self.out_channel),
+        )
+        # style: (B, style_dim) -> per-input-channel gains, bias_init=1
+        s = EqualLinear(cin, bias_init=1.0, name="modulation")(style)
+
+        if self.upsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pad0 = (p + 1) // 2 + factor - 1
+            pad1 = p // 2 + 1
+            if k == 1:
+                # conv_transpose(k=1, stride 2) == modulate then zero-stuff;
+                # expressed as one upfirdn with the blur (gain x4). The
+                # reference's transposed conv yields 2h-1 then pads (pad0,pad1);
+                # up=2 zero-stuffing adds a trailing zero, absorbed by pad1-1.
+                y = modulated_matmul(
+                    x.reshape(b, -1, cin), weight[0, 0], s, self.demodulate
+                ).reshape(b, h, w_sp, self.out_channel)
+                kblur = make_blur_kernel(tuple(self.blur_kernel), factor)
+                return upfirdn2d(y, kblur, up=2, pad=(pad0, pad1 - 1))
+            # general k: grouped transposed conv via lhs_dilation
+            wmod = _modulate_weights_kxk(weight, s, self.demodulate)
+            lhs = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, h, w_sp, b * cin)
+            # transposed conv == conv with spatially-flipped kernel, in/out
+            # roles swapped, full padding (k-1), input dilated by stride
+            wt = jnp.flip(wmod, axis=(1, 2))  # (B,kh,kw,Cin,Cout)
+            rhs = jnp.transpose(wt, (1, 2, 3, 0, 4)).reshape(
+                k, k, cin, b * self.out_channel
+            )
+            out = jax.lax.conv_general_dilated(
+                lhs,
+                rhs.astype(x.dtype),
+                window_strides=(1, 1),
+                padding=((k - 1, k - 1), (k - 1, k - 1)),
+                lhs_dilation=(factor, factor),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=b,
+            )
+            oh, ow = out.shape[1], out.shape[2]
+            out = out.reshape(oh, ow, b, self.out_channel).transpose(2, 0, 1, 3)
+            kblur = make_blur_kernel(tuple(self.blur_kernel), factor)
+            return upfirdn2d(out, kblur, pad=(pad0, pad1))
+
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            kblur = make_blur_kernel(tuple(self.blur_kernel))
+            x = upfirdn2d(x, kblur, pad=(pad0, pad1))
+            wmod = _modulate_weights_kxk(weight, s, self.demodulate)
+            bh, bw = x.shape[1], x.shape[2]
+            lhs = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, bh, bw, b * cin)
+            rhs = jnp.transpose(wmod, (1, 2, 3, 0, 4)).reshape(
+                k, k, cin, b * self.out_channel
+            )
+            out = jax.lax.conv_general_dilated(
+                lhs,
+                rhs.astype(x.dtype),
+                window_strides=(2, 2),
+                padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=b,
+            )
+            oh, ow = out.shape[1], out.shape[2]
+            return out.reshape(oh, ow, b, self.out_channel).transpose(2, 0, 1, 3)
+
+        if k == 1:
+            return modulated_matmul(
+                x.reshape(b, -1, cin), weight[0, 0], s, self.demodulate
+            ).reshape(b, h, w_sp, self.out_channel)
+        return modulated_conv2d(
+            x, weight, s, demodulate=self.demodulate, padding=((k // 2, k // 2),) * 2
+        )
+
+
+class NoiseInjection(nn.Module):
+    """Per-pixel noise with a learned scalar weight (model_v3.py:317-341).
+
+    Geometry-aware noise projection (mesh splatting, model_v3.py:344-415) is
+    a CPU-side visualisation aid in the reference; here projected noise is
+    supplied pre-computed through `noise` by the caller."""
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        w = self.param("weight", nn.initializers.zeros, (1,))
+        if noise is None:
+            b, h, ww, _ = x.shape
+            noise = jax.random.normal(self.make_rng("noise"), (b, h, ww, 1), x.dtype)
+        return x + w * noise
+
+
+class StyledConv(nn.Module):
+    """ModulatedConv -> NoiseInjection -> fused lrelu (model_v3.py:418-454).
+
+    The reference also allocates an unused `bias` parameter; the importer
+    drops it. The activation bias lives in `act_bias` (FusedLeakyReLU.bias)."""
+
+    out_channel: int
+    kernel_size: int
+    upsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, style, noise=None):
+        x = ModulatedConv2d(
+            self.out_channel,
+            self.kernel_size,
+            upsample=self.upsample,
+            blur_kernel=self.blur_kernel,
+            name="conv",
+        )(x, style)
+        x = NoiseInjection(name="noise")(x, noise)
+        b = self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
+        return fused_leaky_relu(x, b)
+
+
+class ToRGB(nn.Module):
+    """1x1 modulated conv (no demod) to RGB + skip accumulation
+    (model_v3.py:457-482)."""
+
+    upsample: bool = True
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, style, skip=None):
+        out = ModulatedConv2d(3, 1, demodulate=False, name="conv")(x, style)
+        b = self.param("bias", nn.initializers.zeros, (3,))
+        out = out + b
+        if skip is not None:
+            if self.upsample:
+                skip = upsample2x(skip, self.blur_kernel)
+            out = out + skip
+        return out
+
+
+# StyleGAN2 channel table (model_v3.py:564-574)
+def channel_table(channel_multiplier: int) -> dict:
+    return {
+        4: 512,
+        8: 512,
+        16: 512,
+        32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
