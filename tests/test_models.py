@@ -1,0 +1,211 @@
+"""Model-level build+forward tests (the reference's test_discriminator.py
+pattern, exp/cips3d/models/test_discriminator.py:15-383, without GPUs)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cips3dpp_tpu.core import sample_cameras
+from cips3dpp_tpu.models.generator import (
+    Generator,
+    GeneratorConfig,
+    RendererConfig,
+    DecoderConfig,
+)
+from cips3dpp_tpu.models.discriminator import DStyleGAN, DStyleGANProgressive
+from cips3dpp_tpu.models.discriminator_pose import (
+    DVolumeRender,
+    DVolumeRenderProgressive,
+)
+
+
+def tiny_config(img_size=8, upsample_list=(128, 256), n_samples=4):
+    """Small generator for CPU tests: 8^2 rays, 2 upsamples -> 32^2 output."""
+    return GeneratorConfig(
+        renderer=RendererConfig(n_layers=2, hidden_dim=32),
+        decoder=DecoderConfig(
+            size_start=4,
+            size_end=1024,
+            channel_multiplier=2,
+            kernel_size=1,
+            upsample_list=upsample_list,
+            style_dim=64,
+            mapping_n_layers=2,
+        ),
+        img_size=img_size,
+        n_samples=n_samples,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_gen():
+    cfg = tiny_config()
+    model = Generator(cfg)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=cfg.img_size)
+    zs = (
+        jax.random.normal(jax.random.PRNGKey(2), (2, cfg.mapping.z_dim)),
+        jax.random.normal(jax.random.PRNGKey(3), (2, cfg.mapping.z_dim)),
+    )
+    params = model.init(
+        {"params": key, "perturb": key, "noise": key},
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+    )
+    return model, params, cam, zs
+
+
+def test_generator_forward_shapes(tiny_gen):
+    model, params, cam, zs = tiny_gen
+    out = model.apply(
+        params,
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        rngs={"perturb": jax.random.PRNGKey(5), "noise": jax.random.PRNGKey(6)},
+    )
+    assert out["rgb"].shape == (2, 32, 32, 3)  # 8 * 2^2 upsamples
+    assert out["thumb_rgb"].shape == (2, 8, 8, 3)
+    assert out["mask"].shape == (2, 8, 8, 1)
+    assert out["depth"].shape == (2, 8, 8, 1)
+    assert out["xyz"].shape == (2, 8, 8, 3)
+    assert out["sdf"].shape == (2, 8, 8, 4, 1)
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.abs(np.asarray(out["thumb_rgb"])).max() <= 1.0 + 1e-5
+
+
+def test_generator_ray_chunk_matches_full(tiny_gen):
+    model, params, cam, zs = tiny_gen
+    kwargs = dict(
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        perturb=False,
+    )
+    rngs = {"noise": jax.random.PRNGKey(7)}
+    full = model.apply(params, **kwargs, rngs=rngs)
+    chunked = model.apply(params, **kwargs, ray_chunk=16, rngs=rngs)
+    np.testing.assert_allclose(
+        np.asarray(full["thumb_rgb"]), np.asarray(chunked["thumb_rgb"]), atol=1e-5
+    )
+
+
+def test_generator_eikonal(tiny_gen):
+    model, params, cam, zs = tiny_gen
+    out = model.apply(
+        params,
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        perturb=False,
+        eikonal_reg=True,
+        rngs={"noise": jax.random.PRNGKey(8)},
+    )
+    eik = out["eikonal_term"]
+    assert eik.shape == (2, 8 * 8, 4, 3)
+    assert np.isfinite(np.asarray(eik)).all()
+    # eikonal norm should be O(1)-ish, not zero: the SDF has real gradients
+    assert float(jnp.abs(eik).max()) > 0
+
+
+def test_generator_deterministic_with_noise_bufs(tiny_gen):
+    model, params, cam, zs = tiny_gen
+    noise = model.bind(params).decoder.make_noise(jax.random.PRNGKey(0), 8)
+    kwargs = dict(
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        perturb=False,
+        noise_bufs=noise,
+    )
+    a = model.apply(params, **kwargs)
+    b = model.apply(params, **kwargs)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
+def test_generator_truncation(tiny_gen):
+    model, params, cam, zs = tiny_gen
+    means = model.apply(
+        params, jax.random.PRNGKey(0), 256, method=Generator.mean_latents
+    )
+    out = model.apply(
+        params,
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        perturb=False,
+        truncation=0.5,
+        mean_latents=means,
+        rngs={"noise": jax.random.PRNGKey(9)},
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_generator_sphere_init_pass(tiny_gen):
+    model, params, cam, zs = tiny_gen
+    sdf, target = model.apply(
+        params,
+        zs=zs,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        method=Generator.init_forward,
+    )
+    assert sdf.shape == target.shape == (2, 8, 8, 4)
+
+
+def test_d_stylegan():
+    d = DStyleGAN(input_size=64, channel_multiplier=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    out = d.apply(params, x)
+    assert out.shape == (4, 1)
+
+
+def test_d_stylegan_progressive_fade():
+    d = DStyleGANProgressive(input_size=1024, channel_multiplier=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    params = d.init(jax.random.PRNGKey(1), x, alpha=0.5)
+    out_half = d.apply(params, x, alpha=0.5)
+    out_full = d.apply(params, x, alpha=1.0)
+    assert out_half.shape == (2, 1)
+    assert not np.allclose(np.asarray(out_half), np.asarray(out_full))
+    # param structure covers every resolution (progressive growth ready)
+    names = jax.tree_util.tree_leaves_with_path(params)
+    assert any("conv_in_1024" in jax.tree_util.keystr(p) for p, _ in names)
+    assert any("conv_in_8" in jax.tree_util.keystr(p) for p, _ in names)
+
+
+def test_d_pose():
+    d = DVolumeRender(input_size=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    params = d.init(jax.random.PRNGKey(1), x)
+    gan, view = d.apply(params, x)
+    assert gan.shape == (4, 1)
+    assert view.shape == (4, 2)
+
+
+def test_d_pose_progressive():
+    d = DVolumeRenderProgressive(input_size=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    params = d.init(jax.random.PRNGKey(1), x, alpha=0.3)
+    gan, view = d.apply(params, x, alpha=0.3)
+    assert gan.shape == (2, 1)
+    assert view.shape == (2, 2)
