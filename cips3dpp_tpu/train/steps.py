@@ -1,0 +1,348 @@
+"""Jitted train steps: D update, G update, path regulariser, sphere init.
+
+Behavioural contract: exp/cips3d/scripts/train_v10.py:58-494 (update_D,
+update_D_render, update_D_decoder, update_G, update_G_render,
+update_G_decoder, path-reg branch) and :595-668 (sphere_init_func).
+
+TPU-first re-design: each update is ONE pure jitted function
+(params, batch, rng) -> (params', metrics); interval-triggered work
+(lazy R1 every d_reg_every, path reg every g_reg_every) is a separate
+compiled variant selected host-side by step index — no data-dependent
+control flow inside jit, no Python chunk loops. Under a data-parallel
+mesh the batch axis is sharded and every `.mean()` becomes a global mean,
+which reproduces DDP's gradient averaging without any explicit collectives
+(XLA inserts the psum).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.camera import sample_cameras
+from .losses import (
+    d_logistic_loss,
+    g_nonsaturating_loss,
+    r1_penalty,
+    eikonal_loss,
+    minimal_surface_loss,
+    viewpoint_loss,
+    path_length_penalty,
+    path_noise,
+)
+from .state import TrainConfig, TrainState
+
+
+def downsample_to(imgs, size: int):
+    """Real 1024^2 -> 64^2 thumbnails for the pose D; the reference uses a
+    PIL-Lanczos conv layer (train_v10.py:65-74), here lanczos3 resize."""
+    b, h, w, c = imgs.shape
+    if h == size:
+        return imgs
+    return jax.image.resize(imgs, (b, size, size, c), method="lanczos3")
+
+
+def _sample_inputs(key, batch, gen_cfg, mesh=None):
+    """Random z pair + camera batch (train_v10.py:160-171). Under a mesh the
+    batch axis is sharding-constrained so the generator runs data-parallel
+    even though z/cams are derived from a replicated key."""
+    from ..parallel.mesh import constrain_batch
+
+    kz0, kz1, kc = jax.random.split(key, 3)
+    zs = tuple(
+        constrain_batch(jax.random.normal(k, (batch, gen_cfg.mapping.z_dim)), mesh)
+        for k in (kz0, kz1)
+    )
+    cam = sample_cameras(
+        kc,
+        batch=batch,
+        img_size=gen_cfg.img_size,
+        azim_range=gen_cfg.azim_range,
+        elev_range=gen_cfg.elev_range,
+        fov_ang=gen_cfg.fov_ang,
+        dist_radius=gen_cfg.dist_radius,
+        uniform=gen_cfg.uniform_camera,
+    )
+    cam = type(cam)(*(constrain_batch(x, mesh) for x in cam))
+    return zs, cam
+
+
+def make_train_steps(
+    generator, d_decoder, d_render, gen_cfg, cfg: TrainConfig, txs, mesh=None,
+    donate: bool = False,
+):
+    """Build the jitted step functions. `generator`/`d_*` are flax modules,
+    `txs` = (tx_g, tx_d, tx_d_render) from state.py. With `mesh`, steps run
+    data-parallel (batch sharded over the 'data' axis, params replicated)."""
+    tx_g, tx_d, tx_dr = txs
+
+    def g_forward(params_g, zs, cam, rng, eikonal_reg, renderer_detach, path_reg=False):
+        k1, k2 = jax.random.split(rng)
+        return generator.apply(
+            params_g,
+            zs=zs,
+            cam_poses=cam.extrinsics,
+            focals=cam.focal,
+            near=cam.near,
+            far=cam.far,
+            eikonal_reg=eikonal_reg,
+            renderer_detach=renderer_detach,
+            path_reg=path_reg,
+            rngs={"perturb": k1, "noise": k2},
+        )
+
+    # ------------------------------------------------------------------ D --
+    donate_kw = dict(donate_argnums=0) if donate else {}
+
+    @functools.partial(jax.jit, static_argnames=("d_regularize",), **donate_kw)
+    def d_step(state: TrainState, real_imgs, rng, alpha, d_regularize: bool):
+        """update_D (train_v10.py:136-241): one fused D-render + D-decoder
+        update on fakes from the current G."""
+        k_in, k_g = jax.random.split(rng)
+        zs, cam = _sample_inputs(k_in, real_imgs.shape[0], gen_cfg, mesh)
+
+        ret = g_forward(
+            state.params_g, zs, cam, k_g, eikonal_reg=False, renderer_detach=None
+        )
+        fake_rgb = jax.lax.stop_gradient(ret["rgb"])
+        fake_thumb = jax.lax.stop_gradient(ret["thumb_rgb"])
+        real_thumb = downsample_to(real_imgs, fake_thumb.shape[1])
+
+        def loss_fn(params_d, params_dr):
+            # pose D (update_D_render :58-102): R1 every step
+            fake_pred_r, fake_view = d_render.apply(params_dr, fake_thumb, alpha=alpha)
+            real_pred_r, _ = d_render.apply(params_dr, real_thumb, alpha=alpha)
+            d_gan_r = d_logistic_loss(real_pred_r, fake_pred_r)
+            r1_r = cfg.lambda_gp * 0.5 * r1_penalty(
+                lambda x: d_render.apply(params_dr, x, alpha=alpha)[0], real_thumb
+            )
+            pose = (
+                cfg.lambda_pose * viewpoint_loss(fake_view, cam.viewpoint)
+                if cfg.lambda_pose > 0
+                else 0.0
+            )
+
+            # image D (update_D_decoder :104-134): lazy R1
+            fake_pred = d_decoder.apply(params_d, fake_rgb, alpha=alpha)
+            real_pred = d_decoder.apply(params_d, real_imgs, alpha=alpha)
+            d_gan = d_logistic_loss(real_pred, fake_pred)
+            if d_regularize:
+                r1_d = (
+                    cfg.lambda_gp
+                    * 0.5
+                    * cfg.d_reg_every
+                    * r1_penalty(
+                        lambda x: d_decoder.apply(params_d, x, alpha=alpha), real_imgs
+                    )
+                )
+            else:
+                r1_d = 0.0
+
+            total = d_gan_r + r1_r + pose + d_gan + r1_d
+            metrics = {
+                "d_loss_gan_render": d_gan_r,
+                "d_loss_r1_render": r1_r,
+                "d_loss_pose_render": pose,
+                "d_loss_gan_decoder": d_gan,
+                "d_loss_gp_decoder": r1_d,
+                "d_logits_real_decoder": real_pred.mean(),
+                "d_logits_fake_decoder": fake_pred.mean(),
+                "d_logits_real_render": real_pred_r.mean(),
+                "d_logits_fake_render": fake_pred_r.mean(),
+            }
+            return total, metrics
+
+        (loss, metrics), (gd, gdr) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params_d, state.params_d_render)
+
+        upd_d, opt_d = tx_d.update(gd, state.opt_d, state.params_d)
+        upd_dr, opt_dr = tx_dr.update(gdr, state.opt_d_render, state.params_d_render)
+        state = state.replace(
+            params_d=optax.apply_updates(state.params_d, upd_d),
+            params_d_render=optax.apply_updates(state.params_d_render, upd_dr),
+            opt_d=opt_d,
+            opt_d_render=opt_dr,
+        )
+        metrics["d_loss_total"] = loss
+        return state, metrics
+
+    # ------------------------------------------------------------------ G --
+    @functools.partial(
+        jax.jit, static_argnames=("renderer_detach",), **donate_kw
+    )
+    def g_step(state: TrainState, rng, alpha, renderer_detach: bool | None = None):
+        """update_G main pass (train_v10.py:303-405): GAN + pose + eikonal +
+        minimal-surface on the thumbnail path, GAN on the decoder path."""
+        k_in, k_g = jax.random.split(rng)
+        zs, cam = _sample_inputs(k_in, cfg.batch, gen_cfg, mesh)
+
+        def loss_fn(params_g):
+            ret = g_forward(
+                params_g,
+                zs,
+                cam,
+                k_g,
+                eikonal_reg=cfg.eikonal_reg,
+                renderer_detach=renderer_detach,
+            )
+            fake_pred_r, fake_view = d_render.apply(
+                state.params_d_render, ret["thumb_rgb"], alpha=alpha
+            )
+            g_gan_r = g_nonsaturating_loss(fake_pred_r)
+            pose = (
+                cfg.lambda_pose * viewpoint_loss(fake_view, cam.viewpoint)
+                if cfg.lambda_pose > 0
+                else 0.0
+            )
+            eik = (
+                cfg.lambda_eikonal * eikonal_loss(ret["eikonal_term"])
+                if (cfg.lambda_eikonal > 0 and ret["eikonal_term"] is not None)
+                else 0.0
+            )
+            min_surf = (
+                cfg.lambda_min_surf
+                * minimal_surface_loss(ret["sdf"], cfg.min_surf_beta)
+                if (cfg.lambda_min_surf > 0 and cfg.sdf_reg)
+                else 0.0
+            )
+            fake_pred = d_decoder.apply(state.params_d, ret["rgb"], alpha=alpha)
+            g_gan = g_nonsaturating_loss(fake_pred)
+
+            total = g_gan_r + pose + eik + min_surf + g_gan
+            metrics = {
+                "g_loss_gan_render": g_gan_r,
+                "g_loss_pose_render": pose,
+                "g_loss_eikonal_render": eik,
+                "g_loss_minimal_surface_render": min_surf,
+                "g_loss_gan_decoder": g_gan,
+            }
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params_g
+        )
+        upd, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
+        state = state.replace(
+            params_g=optax.apply_updates(state.params_g, upd),
+            opt_g=opt_g,
+            step=state.step + 1,
+        )
+        metrics["g_loss_total"] = loss
+        return state, metrics
+
+    # ----------------------------------------------------------- path reg --
+    @functools.partial(jax.jit, **donate_kw)
+    def path_reg_step(state: TrainState, rng):
+        """Path-length regularisation every g_reg_every iters
+        (train_v10.py:408-480). Differentiates wrt the decoder styles
+        (style_decoder detached from the mapping, model_v3.py:1334-1341);
+        renderer-side grads are zeroed (the reference clips them to norm 0,
+        train_v10.py:470-471)."""
+        batch = max(1, cfg.batch // cfg.path_batch_shrink)
+        k_in, k_g, k_n = jax.random.split(rng, 3)
+        zs, cam = _sample_inputs(k_in, batch, gen_cfg, mesh)
+
+        def loss_fn(params_g):
+            # styles from the mapping nets (stop-grad on decoder styles)
+            sr, sd = generator.apply(
+                params_g, zs, method="map_zs"
+            )
+            sd = jax.lax.stop_gradient(sd)
+
+            def img_fn(style_decoder):
+                k1, k2 = jax.random.split(k_g)
+                ret = generator.apply(
+                    params_g,
+                    style_render=sr,
+                    style_decoder=style_decoder,
+                    cam_poses=cam.extrinsics,
+                    focals=cam.focal,
+                    near=cam.near,
+                    far=cam.far,
+                    rngs={"perturb": k1, "noise": k2},
+                )
+                return ret["rgb"]
+
+            rgb, pullback = jax.vjp(img_fn, sd)
+            noise = path_noise(k_n, rgb)
+            (latents_grad,) = pullback(noise)
+            penalty, new_mean, path_lengths = path_length_penalty(
+                rgb, latents_grad, state.mean_path_length
+            )
+            weighted = cfg.path_regularize * cfg.g_reg_every * penalty
+            return weighted, (new_mean, path_lengths.mean())
+
+        (weighted, (new_mean, plen)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params_g)
+
+        # zero the renderer-side grads (reference: clip to max_norm 0)
+        from .state import _g_label_tree
+
+        labels = _g_label_tree(grads)
+        grads = jax.tree.map(
+            lambda g, l: jnp.zeros_like(g) if l == "renderer" else g,
+            grads,
+            labels,
+        )
+
+        upd, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
+        state = state.replace(
+            params_g=optax.apply_updates(state.params_g, upd),
+            opt_g=opt_g,
+            mean_path_length=new_mean,
+        )
+        return state, {"g_loss_weighted_path": weighted, "path_length_mean": plen}
+
+    # --------------------------------------------------------- sphere init --
+    @functools.partial(jax.jit, **donate_kw)
+    def sphere_init_step(state: TrainState, rng):
+        """SDF sphere initialisation (train_v10.py:595-668): L1 between the
+        renderer's sdf and |pts| - (far-near)/4 on stratified samples."""
+        zs, cam = _sample_inputs(rng, 4, gen_cfg, mesh)
+
+        def loss_fn(params_g):
+            sdf, target = generator.apply(
+                params_g,
+                zs=zs,
+                cam_poses=cam.extrinsics,
+                focals=cam.focal,
+                near=cam.near,
+                far=cam.far,
+                method="init_forward",
+            )
+            return jnp.abs(sdf - target).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params_g)
+        upd, opt_g = tx_g.update(grads, state.opt_g, state.params_g)
+        state = state.replace(
+            params_g=optax.apply_updates(state.params_g, upd), opt_g=opt_g
+        )
+        return state, {"sphere_init_l1": loss}
+
+    return d_step, g_step, path_reg_step, sphere_init_step
+
+
+@jax.jit
+def ema_update(state: TrainState, decay):
+    """g_ema = decay*g_ema + (1-decay)*g (cips3d/utils.py:63-79); decay is 0
+    before ema_start (train_v10.py:933-936)."""
+    new_ema = jax.tree.map(
+        lambda e, p: decay * e + (1.0 - decay) * p,
+        state.params_g_ema,
+        state.params_g,
+    )
+    return state.replace(params_g_ema=new_ema)
+
+
+def fade_alpha(step: int, fade_steps: int, fade: bool = True) -> float:
+    """Progressive fade-in schedule (train_v10.py:895-898)."""
+    if not fade:
+        return 1.0
+    return min(1.0, step / fade_steps)
