@@ -1,0 +1,199 @@
+"""Training data pipeline.
+
+Behavioural contract: exp/stylesdf/dataset.py (LMDB keyed
+f"{resolution}-{idx:05d}", hflip augmentation, optional thumbnail) and
+exp/stylesdf/scripts/prepare_data.py (center-crop -> multi-size resize).
+
+TPU-first design: the hot path yields device-ready NHWC float batches in
+[-1, 1]; decode/augment run on host threads ahead of the step (the XLA step
+never blocks on IO). Two storage backends:
+
+- LMDB (drop-in compatibility with datasets prepared by the reference tool)
+- packed .npy shards (this framework's native format, written by
+  `prepare_images`) — simple memory-mapped reads, no lmdb dependency.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import threading
+import queue as queue_mod
+from typing import Iterator, Sequence
+
+import numpy as np
+
+
+def _to_float(img_u8: np.ndarray) -> np.ndarray:
+    return img_u8.astype(np.float32) / 127.5 - 1.0
+
+
+class ArrayDataset:
+    """In-memory / mmap NHWC uint8 images."""
+
+    def __init__(self, images: np.ndarray, hflip: bool = True):
+        assert images.ndim == 4 and images.shape[-1] == 3, images.shape
+        self.images = images
+        self.hflip = hflip
+
+    def __len__(self):
+        return len(self.images)
+
+    def get(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        img = self.images[idx]
+        if self.hflip and rng.random() < 0.5:
+            img = img[:, ::-1]
+        return _to_float(img)
+
+
+class NpyShardDataset(ArrayDataset):
+    """Native format: one or more {prefix}-{res}-{shard}.npy uint8 arrays."""
+
+    def __init__(self, paths: Sequence[str], hflip: bool = True):
+        arrays = [np.load(p, mmap_mode="r") for p in sorted(paths)]
+        self.arrays = arrays
+        self.sizes = np.array([len(a) for a in arrays])
+        self.offsets = np.concatenate([[0], np.cumsum(self.sizes)])
+        self.hflip = hflip
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def get(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        shard = int(np.searchsorted(self.offsets, idx, side="right") - 1)
+        img = np.asarray(self.arrays[shard][idx - self.offsets[shard]])
+        if self.hflip and rng.random() < 0.5:
+            img = img[:, ::-1]
+        return _to_float(img)
+
+
+class LMDBDataset:
+    """Reads LMDB files produced by the reference's prepare_data tool
+    (dataset.py:13-65 key scheme)."""
+
+    def __init__(self, path: str, resolution: int, hflip: bool = True):
+        import lmdb  # optional dep; gate at use
+
+        self.env = lmdb.open(
+            path, readonly=True, lock=False, readahead=False, meminit=False
+        )
+        with self.env.begin(write=False) as txn:
+            self.length = int(txn.get(b"length").decode())
+        self.resolution = resolution
+        self.hflip = hflip
+
+    def __len__(self):
+        return self.length
+
+    def get(self, idx: int, rng: np.random.Generator) -> np.ndarray:
+        from PIL import Image
+
+        key = f"{self.resolution}-{idx:05d}".encode()
+        with self.env.begin(write=False) as txn:
+            buf = txn.get(key)
+        img = np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
+        if self.hflip and rng.random() < 0.5:
+            img = img[:, ::-1]
+        return _to_float(img)
+
+
+def open_dataset(path: str, resolution: int, hflip: bool = True):
+    """Auto-detect backend: directory of .npy shards, an LMDB dir, or a
+    directory of images (debug path)."""
+    if os.path.isdir(path):
+        npys = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".npy")
+        ]
+        if npys:
+            return NpyShardDataset(npys, hflip=hflip)
+        if os.path.exists(os.path.join(path, "data.mdb")):
+            return LMDBDataset(path, resolution, hflip=hflip)
+        # plain image folder
+        from PIL import Image
+
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+        )
+        imgs = np.stack(
+            [
+                np.asarray(
+                    Image.open(f).convert("RGB").resize((resolution, resolution))
+                )
+                for f in files
+            ]
+        )
+        return ArrayDataset(imgs, hflip=hflip)
+    raise FileNotFoundError(path)
+
+
+def data_iterator(
+    dataset,
+    batch_size: int,
+    seed: int = 0,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    prefetch: int = 4,
+) -> Iterator[np.ndarray]:
+    """Infinite shuffled iterator with host-side prefetch threads.
+
+    Sharding replaces DistributedSampler (cips3d/utils.py:29-52): each host
+    takes every num_shards-th index of a per-epoch permutation."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
+
+    def worker():
+        rng = np.random.default_rng(seed + shard_index)
+        epoch = 0
+        while True:
+            order = np.random.default_rng(seed + epoch).permutation(len(dataset))
+            order = order[shard_index::num_shards]
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                idxs = order[start : start + batch_size]
+                batch = np.stack([dataset.get(int(i), rng) for i in idxs])
+                q.put(batch)
+            epoch += 1
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        yield q.get()
+
+
+def prepare_images(
+    src_dir: str,
+    out_dir: str,
+    sizes: Sequence[int] = (1024,),
+    shard_size: int = 10_000,
+):
+    """Native prepare tool (reference: prepare_data.py:23-80): center-crop to
+    square, lanczos-resize to each size, write uint8 .npy shards."""
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    files = sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+    )
+    for size in sizes:
+        shard, shard_idx = [], 0
+        for f in files:
+            img = Image.open(f).convert("RGB")
+            w, h = img.size
+            s = min(w, h)
+            img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+            img = img.resize((size, size), Image.LANCZOS)
+            shard.append(np.asarray(img))
+            if len(shard) == shard_size:
+                np.save(
+                    os.path.join(out_dir, f"images-{size}-{shard_idx:04d}.npy"),
+                    np.stack(shard),
+                )
+                shard, shard_idx = [], shard_idx + 1
+        if shard:
+            np.save(
+                os.path.join(out_dir, f"images-{size}-{shard_idx:04d}.npy"),
+                np.stack(shard),
+            )
+    return out_dir

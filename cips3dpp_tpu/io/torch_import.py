@@ -1,0 +1,222 @@
+"""PyTorch checkpoint importer: released CIPS-3D++ `G_ema.pth` -> param pytree.
+
+The reference saves per-model torch state dicts (train_v10.py:496-522 via
+Checkpointer); inference rebuilds G from the ckpt dir's config snapshot
+(render_video_web_v10.py:1695-1723). This module maps that state-dict naming
+(model_v3.py module tree: style.*, style_decoder.*, renderer.network.*,
+decoder.{conv1,convs,to_rgbs}.*, sigmoid_beta) onto this framework's flax
+variable tree, transposing torch layouts to TPU channel-last:
+
+    Linear  (out, in)        -> (in, out)
+    Conv    (out, in, kh, kw)-> (kh, kw, in, out)
+    ModConv (1, out, in, k,k)-> (k, k, in, out)
+
+Unused reference parameters (StyledConv's dead `bias`, Blur/Upsample FIR
+buffers) are dropped; FusedLeakyReLU biases land in `act_bias`.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+import flax
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """Load a .pth state dict to numpy on CPU (no CUDA)."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.detach().numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+
+
+def _t_linear(w):
+    return np.ascontiguousarray(np.transpose(w))
+
+
+def _t_conv(w):
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _t_modconv(w):
+    # (1, out, in, k, k) -> (k, k, in, out)
+    return np.ascontiguousarray(np.transpose(w[0], (2, 3, 1, 0)))
+
+
+def _siren_linear(dst, torch_sd, prefix):
+    dst["weight"] = _t_linear(torch_sd[f"{prefix}.weight"])
+    dst["bias"] = np.asarray(torch_sd[f"{prefix}.bias"])
+
+
+def _film_siren(torch_sd, prefix):
+    out = {
+        "weight": _t_linear(torch_sd[f"{prefix}.weight"]),
+        "bias": np.asarray(torch_sd[f"{prefix}.bias"]),
+        "gamma": {},
+        "beta": {},
+    }
+    _siren_linear(out["gamma"], torch_sd, f"{prefix}.gamma")
+    _siren_linear(out["beta"], torch_sd, f"{prefix}.beta")
+    return out
+
+
+def _styled_conv(torch_sd, prefix):
+    return {
+        "conv": {
+            "weight": _t_modconv(torch_sd[f"{prefix}.conv.weight"]),
+            "modulation": {
+                "weight": _t_linear(torch_sd[f"{prefix}.conv.modulation.weight"]),
+                "bias": np.asarray(torch_sd[f"{prefix}.conv.modulation.bias"]),
+            },
+        },
+        "noise": {"weight": np.asarray(torch_sd[f"{prefix}.noise.weight"])},
+        "act_bias": np.asarray(torch_sd[f"{prefix}.activate.bias"]),
+    }
+
+
+def _to_rgb(torch_sd, prefix):
+    return {
+        "conv": {
+            "weight": _t_modconv(torch_sd[f"{prefix}.conv.weight"]),
+            "modulation": {
+                "weight": _t_linear(torch_sd[f"{prefix}.conv.modulation.weight"]),
+                "bias": np.asarray(torch_sd[f"{prefix}.conv.modulation.bias"]),
+            },
+        },
+        # (1, 3, 1, 1) -> (3,)
+        "bias": np.asarray(torch_sd[f"{prefix}.bias"]).reshape(-1),
+    }
+
+
+def import_generator_state_dict(
+    torch_sd: Mapping[str, np.ndarray],
+    n_renderer_layers: int,
+    n_decoder_blocks: int,
+    n_mapping_layers: int = 3,
+    n_decoder_mapping_layers: int = 5,
+) -> dict:
+    """Build the flax variables dict {'params': ...} for models.Generator.
+
+    n_decoder_blocks = log2(size_end) - log2(size_start) (8 for the r1024
+    decoder: convs has 2*8 entries, to_rgbs 8)."""
+    p: dict = {}
+
+    # NeRF mapping: torch Sequential style.{i} of MappingLinear
+    for i in range(n_mapping_layers):
+        p[f"style_{i}"] = {
+            "weight": _t_linear(torch_sd[f"style.{i}.weight"]),
+            "bias": np.asarray(torch_sd[f"style.{i}.bias"]),
+        }
+
+    # decoder mapping: Sequential [PixelNorm, EqualLinear x N] -> indices 1..N
+    for i in range(n_decoder_mapping_layers):
+        p[f"style_decoder_{i}"] = {
+            "weight": _t_linear(torch_sd[f"style_decoder.{i + 1}.weight"]),
+            "bias": np.asarray(torch_sd[f"style_decoder.{i + 1}.bias"]),
+        }
+
+    # renderer
+    renderer = {
+        "sigmoid_beta": np.asarray(torch_sd["renderer.sigmoid_beta"]),
+        "network": {},
+    }
+    net = renderer["network"]
+    for i in range(n_renderer_layers):
+        net[f"pts_{i}"] = _film_siren(torch_sd, f"renderer.network.pts_linears.{i}")
+    net["views"] = _film_siren(torch_sd, "renderer.network.views_linears")
+    net["rgb_head"] = {}
+    _siren_linear(net["rgb_head"], torch_sd, "renderer.network.rgb_linear")
+    net["sigma_head"] = {}
+    _siren_linear(net["sigma_head"], torch_sd, "renderer.network.sigma_linear")
+    p["renderer"] = renderer
+
+    # decoder
+    dec = {
+        "conv1": _styled_conv(torch_sd, "decoder.conv1"),
+        "to_rgb1": _to_rgb(torch_sd, "decoder.to_rgb1"),
+    }
+    for i in range(2 * n_decoder_blocks):
+        dec[f"convs_{i}"] = _styled_conv(torch_sd, f"decoder.convs.{i}")
+    for i in range(n_decoder_blocks):
+        dec[f"to_rgbs_{i}"] = _to_rgb(torch_sd, f"decoder.to_rgbs.{i}")
+    p["decoder"] = dec
+
+    import jax.numpy as jnp
+
+    return {"params": flax.traverse_util.unflatten_dict(
+        {k: jnp.asarray(v) for k, v in flax.traverse_util.flatten_dict(p).items()}
+    )}
+
+
+def export_generator_state_dict(variables: dict) -> dict:
+    """Inverse mapping (flax -> torch names/layouts), for round-trip tests and
+    for users exporting back to the reference toolchain."""
+    params = variables["params"]
+    out: dict[str, np.ndarray] = {}
+
+    def inv_linear(w):
+        return np.ascontiguousarray(np.transpose(np.asarray(w)))
+
+    def inv_modconv(w):
+        w = np.asarray(w)  # (k,k,in,out)
+        return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))[None]
+
+    def put_siren(prefix, node):
+        out[f"{prefix}.weight"] = inv_linear(node["weight"])
+        out[f"{prefix}.bias"] = np.asarray(node["bias"])
+
+    def put_film(prefix, node):
+        put_siren(prefix, node)
+        put_siren(f"{prefix}.gamma", node["gamma"])
+        put_siren(f"{prefix}.beta", node["beta"])
+
+    def put_styled(prefix, node):
+        out[f"{prefix}.conv.weight"] = inv_modconv(node["conv"]["weight"])
+        put_siren(f"{prefix}.conv.modulation", node["conv"]["modulation"])
+        out[f"{prefix}.noise.weight"] = np.asarray(node["noise"]["weight"])
+        out[f"{prefix}.activate.bias"] = np.asarray(node["act_bias"])
+        # reference allocates an unused StyledConv.bias — emit zeros to match
+        cout = np.asarray(node["act_bias"]).shape[0]
+        out[f"{prefix}.bias"] = np.zeros((1, cout, 1, 1), np.float32)
+
+    def put_torgb(prefix, node):
+        out[f"{prefix}.conv.weight"] = inv_modconv(node["conv"]["weight"])
+        put_siren(f"{prefix}.conv.modulation", node["conv"]["modulation"])
+        out[f"{prefix}.bias"] = np.asarray(node["bias"]).reshape(1, -1, 1, 1)
+
+    i = 0
+    while f"style_{i}" in params:
+        put_siren(f"style.{i}", params[f"style_{i}"])
+        i += 1
+    i = 0
+    while f"style_decoder_{i}" in params:
+        put_siren(f"style_decoder.{i + 1}", params[f"style_decoder_{i}"])
+        i += 1
+
+    out["renderer.sigmoid_beta"] = np.asarray(params["renderer"]["sigmoid_beta"])
+    net = params["renderer"]["network"]
+    i = 0
+    while f"pts_{i}" in net:
+        put_film(f"renderer.network.pts_linears.{i}", net[f"pts_{i}"])
+        i += 1
+    put_film("renderer.network.views_linears", net["views"])
+    put_siren("renderer.network.rgb_linear", net["rgb_head"])
+    put_siren("renderer.network.sigma_linear", net["sigma_head"])
+
+    dec = params["decoder"]
+    put_styled("decoder.conv1", dec["conv1"])
+    put_torgb("decoder.to_rgb1", dec["to_rgb1"])
+    i = 0
+    while f"convs_{i}" in dec:
+        put_styled(f"decoder.convs.{i}", dec[f"convs_{i}"])
+        i += 1
+    i = 0
+    while f"to_rgbs_{i}" in dec:
+        put_torgb(f"decoder.to_rgbs.{i}", dec[f"to_rgbs_{i}"])
+        i += 1
+
+    return out

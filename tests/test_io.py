@@ -1,0 +1,142 @@
+"""IO tests: config inheritance/overrides, checkpoint round-trip, dataset."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cips3dpp_tpu.io.config import (
+    load_command_config,
+    apply_overrides,
+    save_snapshot,
+    load_snapshot,
+    generator_config_from_dict,
+    train_config_from_dict,
+)
+
+
+CFG_YAML = """
+_model: &model
+  renderer:
+    n_layers: 2
+  decoder:
+    upsample_list: [128, 256, 512, 1024]
+
+train_base:
+  G_cfg: *model
+  batch: 4
+  total_iters: 800000
+  lambda_gp: 10.0
+
+train_r1024:
+  base: train_base
+  batch: 8
+  G_cfg:
+    renderer:
+      n_layers: 3
+
+eval:
+  base: train_r1024
+  batch: 1
+"""
+
+
+def test_config_inheritance(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(CFG_YAML)
+    cfg = load_command_config(str(p), "train_r1024")
+    assert cfg["batch"] == 8  # overridden
+    assert cfg["total_iters"] == 800000  # inherited
+    # nested merge: n_layers overridden, upsample_list inherited via anchor
+    assert cfg["G_cfg"]["renderer"]["n_layers"] == 3
+    assert cfg["G_cfg"]["decoder"]["upsample_list"] == [128, 256, 512, 1024]
+    # two-level chain
+    ev = load_command_config(str(p), "eval")
+    assert ev["batch"] == 1 and ev["total_iters"] == 800000
+
+
+def test_config_overrides(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(CFG_YAML)
+    cfg = load_command_config(str(p), "train_base")
+    cfg = apply_overrides(
+        cfg, ["batch", "16", "G_cfg.renderer.n_layers", "8", "lambda_gp", "5.5"]
+    )
+    assert cfg["batch"] == 16
+    assert cfg["G_cfg"]["renderer"]["n_layers"] == 8
+    assert cfg["lambda_gp"] == 5.5
+
+
+def test_config_snapshot_roundtrip(tmp_path):
+    cfg = {"a": 1, "b": {"c": [1, 2]}}
+    save_snapshot(cfg, str(tmp_path))
+    assert load_snapshot(str(tmp_path)) == cfg
+
+
+def test_typed_config_builders():
+    g = generator_config_from_dict(
+        {
+            "renderer": {"n_layers": 4},
+            "decoder": {"upsample_list": [128]},
+            "img_size": 32,
+        }
+    )
+    assert g.renderer.n_layers == 4
+    assert g.decoder.upsample_list == (128,)
+    assert g.img_size == 32
+    t = train_config_from_dict({"batch": 2, "unknown_key": 5})
+    assert t.batch == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from cips3dpp_tpu.io.checkpoint import CheckpointManager
+
+    state = {
+        "w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3),
+        "step": jnp.asarray(7),
+    }
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), keep=2)
+    mgr.save(0, state, config={"model": "tiny"})
+    state2 = jax.tree.map(jnp.zeros_like, state)
+    restored = mgr.restore(state2)
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
+    assert int(restored["step"]) == 7
+    assert mgr.load_config() == {"model": "tiny"}
+    # rotation
+    for step in (1, 2, 3):
+        mgr.save(step, state)
+    assert mgr.latest_step() == 3
+    mgr.close()
+
+
+def test_dataset_iterator(tmp_path):
+    from cips3dpp_tpu.io.dataset import (
+        ArrayDataset,
+        NpyShardDataset,
+        data_iterator,
+        open_dataset,
+    )
+
+    imgs = (np.random.RandomState(0).rand(10, 8, 8, 3) * 255).astype(np.uint8)
+    ds = ArrayDataset(imgs)
+    it = data_iterator(ds, batch_size=4, seed=0)
+    batch = next(it)
+    assert batch.shape == (4, 8, 8, 3)
+    assert batch.min() >= -1.0 and batch.max() <= 1.0
+
+    # npy shards + auto-detection
+    np.save(tmp_path / "images-8-0000.npy", imgs[:6])
+    np.save(tmp_path / "images-8-0001.npy", imgs[6:])
+    ds2 = open_dataset(str(tmp_path), resolution=8)
+    assert isinstance(ds2, NpyShardDataset)
+    assert len(ds2) == 10
+    rng = np.random.default_rng(0)
+    img9 = ds2.get(9, rng)
+    assert img9.shape == (8, 8, 3)
+
+    # host sharding: two shards see disjoint indices
+    it0 = data_iterator(ds, 2, seed=1, shard_index=0, num_shards=2)
+    it1 = data_iterator(ds, 2, seed=1, shard_index=1, num_shards=2)
+    b0, b1 = next(it0), next(it1)
+    assert not np.allclose(b0, b1)

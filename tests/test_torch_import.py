@@ -1,0 +1,115 @@
+"""Torch-checkpoint importer tests.
+
+No released weights ship in this environment (zero egress), so parity is
+checked structurally + numerically via round-trip and a from-scratch torch
+implementation of single layers (written here from the documented formulas,
+exp/cips3d/models/model_v3.py:183-215) applied to imported weights.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cips3dpp_tpu.core import sample_cameras
+from cips3dpp_tpu.models.generator import Generator
+from cips3dpp_tpu.io.torch_import import (
+    import_generator_state_dict,
+    export_generator_state_dict,
+)
+
+from test_models import tiny_config
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    cfg = tiny_config()
+    model = Generator(cfg)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=1, img_size=cfg.img_size)
+    zs = (jnp.zeros((1, 256)), jnp.zeros((1, 256)))
+    params = model.init(
+        {"params": key, "perturb": key, "noise": key},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    return cfg, model, params, cam, zs
+
+
+def test_roundtrip_export_import(tiny_params):
+    cfg, model, params, cam, zs = tiny_params
+    sd = export_generator_state_dict(params)
+    # reference naming conventions present
+    assert "style.0.weight" in sd
+    assert "style_decoder.1.weight" in sd  # index 0 is PixelNorm
+    assert "renderer.network.pts_linears.0.gamma.weight" in sd
+    assert "renderer.sigmoid_beta" in sd
+    assert "decoder.conv1.conv.weight" in sd
+    assert sd["decoder.conv1.conv.weight"].ndim == 5  # (1,out,in,k,k)
+    assert "decoder.to_rgbs.0.conv.weight" in sd
+    assert sd["decoder.to_rgb1.bias"].shape == (1, 3, 1, 1)
+
+    n_blocks = 8  # log2(1024) - log2(4)
+    imported = import_generator_state_dict(
+        sd,
+        n_renderer_layers=cfg.renderer.n_layers,
+        n_decoder_blocks=n_blocks,
+        n_mapping_layers=cfg.mapping.n_layers,
+        n_decoder_mapping_layers=cfg.decoder.mapping_n_layers,
+    )
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(imported)
+    assert len(flat_a) == len(flat_b)
+    for (pa, a), (pb, b) in zip(
+        sorted(flat_a, key=lambda t: jax.tree_util.keystr(t[0])),
+        sorted(flat_b, key=lambda t: jax.tree_util.keystr(t[0])),
+    ):
+        assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_imported_forward_identical(tiny_params):
+    cfg, model, params, cam, zs = tiny_params
+    imported = import_generator_state_dict(
+        export_generator_state_dict(params),
+        n_renderer_layers=cfg.renderer.n_layers,
+        n_decoder_blocks=8,
+        n_mapping_layers=cfg.mapping.n_layers,
+        n_decoder_mapping_layers=cfg.decoder.mapping_n_layers,
+    )
+    kwargs = dict(
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far, perturb=False,
+    )
+    noise = model.bind(params).decoder.make_noise(jax.random.PRNGKey(3), cfg.img_size)
+    a = model.apply(params, **kwargs, noise_bufs=noise)
+    b = model.apply(imported, **kwargs, noise_bufs=noise)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+
+
+def test_equal_linear_matches_torch_formula(tiny_params):
+    """Imported EqualLinear weights reproduce the documented torch-side
+    computation: y = x @ (W*scale).T + b*lr_mul (model_v3.py:201-210)."""
+    import torch
+
+    cfg, model, params, cam, zs = tiny_params
+    sd = export_generator_state_dict(params)
+    w = torch.from_numpy(sd["style_decoder.1.weight"])  # (out, in) torch layout
+    b = torch.from_numpy(sd["style_decoder.1.bias"])
+    lr_mul = cfg.decoder.mapping_lr_mul
+    scale = (1.0 / np.sqrt(w.shape[1])) * lr_mul
+
+    x = torch.randn(3, w.shape[1])
+    # torch-side EqualLinear with fused lrelu (scale sqrt(2))
+    out = torch.nn.functional.linear(x, w * scale)
+    out = torch.nn.functional.leaky_relu(out + b * lr_mul, 0.2) * np.sqrt(2.0)
+
+    # jax-side: first decoder-mapping layer on pixel-normed input? No —
+    # apply the layer directly via its own params.
+    from cips3dpp_tpu.models.layers import EqualLinear
+
+    layer = EqualLinear(w.shape[0], lr_mul=lr_mul, activation="fused_lrelu")
+    lp = {"params": params["params"]["style_decoder_0"]}
+    got = layer.apply(lp, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(got), out.numpy(), atol=1e-5)
