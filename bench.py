@@ -51,10 +51,9 @@ def main():
         )
     )(key)
 
-    @jax.jit
     def render_frame(params, z0, z1, azim, elev, rng):
-        """One multi-view frame: camera built from angles on-device
-        (render_video_web_v10.py:1806-1824 semantics, minus host video IO)."""
+        """One multi-view frame, batch 1, N_samples 24 — the reference's
+        rendering-time semantics (render_video_web_v10.py:1806-1824)."""
         cam = camera_from_angles(
             azim, elev, cfg.img_size, fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius
         )
@@ -70,17 +69,32 @@ def main():
         )
         return out["rgb"]
 
-    # warmup / compile
-    rng = jax.random.PRNGKey(3)
-    out = render_frame(params, zs[0], zs[1], azim, elev, rng)
-    out.block_until_ready()
+    # TPU-idiomatic trajectory rendering: scan CHUNK sequential frames inside
+    # one XLA program — zero host dispatch between frames, batch stays 1.
+    CHUNK = 10
+
+    @jax.jit
+    def render_chunk(params, z0, z1, azims, rngs):
+        def body(_, inp):
+            az, rng = inp
+            return None, render_frame(params, z0, z1, az, jnp.zeros((1,)), rng)
+
+        _, frames = jax.lax.scan(body, None, (azims, rngs))
+        return frames
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 200
-    yaw = jnp.linspace(-0.3, 0.3, n_frames)
+    n_frames = (n_frames // CHUNK) * CHUNK
+    yaw = jnp.linspace(-0.3, 0.3, n_frames).reshape(-1, CHUNK, 1)
+    keys = jax.random.split(jax.random.PRNGKey(3), n_frames).reshape(
+        -1, CHUNK, 2
+    )
+
+    out = render_chunk(params, zs[0], zs[1], yaw[0], keys[0])  # warmup/compile
+    out.block_until_ready()
+
     t0 = time.perf_counter()
-    for i in range(n_frames):
-        rng, sub = jax.random.split(rng)
-        out = render_frame(params, zs[0], zs[1], yaw[i : i + 1], elev, sub)
+    for i in range(n_frames // CHUNK):
+        out = render_chunk(params, zs[0], zs[1], yaw[i], keys[i])
     out.block_until_ready()
     dt = time.perf_counter() - t0
 

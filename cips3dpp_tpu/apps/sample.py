@@ -1,0 +1,291 @@
+"""Inference apps: multi-view trajectories, style mixing, stylization.
+
+Behavioural contract: exp/cips3d/models/render_video_web_v10.py —
+trajectories (:1731-1790, __get_trans_rotation_cams :1587-1649), slerp
+(:375-385), style-mixing grid (:1901-2126), decoder weight interpolation
+(:896-935, 1169+). The reference wraps these in Streamlit; here they are
+pure functions + a CLI (cips3dpp_tpu.apps.cli) — one jitted per-frame
+render reused across every app, camera built on-device from angles.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import CameraParams, camera_from_angles
+
+
+# ---------------------------------------------------------------- latents --
+
+
+def slerp(z1, z2, t):
+    """Spherical interpolation (render_video_web_v10.py:375-385)."""
+    p = jnp.sum(z1 * z2, axis=-1, keepdims=True)
+    p = p / jnp.linalg.norm(z1, axis=-1, keepdims=True)
+    p = p / jnp.linalg.norm(z2, axis=-1, keepdims=True)
+    omega = jnp.arccos(jnp.clip(p, -1.0, 1.0))
+    so = jnp.sin(omega)
+    s1 = jnp.sin((1.0 - t) * omega) / so
+    s2 = jnp.sin(t * omega) / so
+    return s1 * z1 + s2 * z2
+
+
+def lerp(a, b, t):
+    return a + (b - a) * t
+
+
+# ------------------------------------------------------------ trajectories --
+
+
+def yaw_trajectory(
+    n_frames: int,
+    img_size: int,
+    azim_range=(-0.3, 0.3),
+    elev: float = 0.0,
+    fov_ang: float = 6.0,
+    dist_radius: float = 0.12,
+) -> CameraParams:
+    """Sinusoidal yaw sweep (render_video_web_v10.py:1732-1748)."""
+    t = jnp.linspace(0.0, 1.0, n_frames)
+    azim = azim_range[0] + (azim_range[1] - azim_range[0]) * jnp.sin(t * jnp.pi)
+    elev_t = jnp.full((n_frames,), elev)
+    return camera_from_angles(
+        azim, elev_t, img_size, fov_ang=fov_ang, dist_radius=dist_radius
+    )
+
+
+def circle_trajectory(
+    n_frames: int,
+    img_size: int,
+    azim_range: float = 0.3,
+    elev: float = 0.15,
+    fov_range=(5.0, 7.0),
+    dist_radius: float = 0.12,
+) -> CameraParams:
+    """Azimuth circle with fov sweep (render_video_web_v10.py:1763-1784)."""
+    t = jnp.linspace(0.0, 1.0, n_frames)
+    azim = azim_range * jnp.sin(t * 2.0 * jnp.pi)
+    elev_t = jnp.full((n_frames,), elev)
+    fov = fov_range[0] + (fov_range[1] - fov_range[0]) * jnp.sin(t * jnp.pi)
+    return camera_from_angles(
+        azim, elev_t, img_size, fov_ang=fov, dist_radius=dist_radius
+    )
+
+
+def translate_rotate_trajectory(
+    n_frames: int,
+    img_size: int,
+    trans_max: float = 0.04,
+    fov_ang: float = 6.0,
+    dist_radius: float = 0.12,
+    only_rotate: bool = False,
+) -> CameraParams:
+    """Camera x-translation then in-plane roll via rotating `up`
+    (__get_trans_rotation_cams, render_video_web_v10.py:1587-1649)."""
+    t = jnp.linspace(0.0, 1.0, n_frames)
+
+    # rotation phase: frontal camera, up vector spinning in the image plane
+    alpha = t * 2.0 * jnp.pi + 0.5 * jnp.pi
+    ups = jnp.stack([jnp.cos(alpha), jnp.sin(alpha), jnp.zeros_like(alpha)], axis=-1)
+    zeros = jnp.zeros((n_frames,))
+    rot = camera_from_angles(
+        zeros, zeros, img_size, fov_ang=fov_ang, dist_radius=dist_radius, up=ups
+    )
+    if only_rotate:
+        return rot
+
+    # translation phase: identity rotation, sinusoidal x offset at z=1
+    trans_x = trans_max * jnp.sin(t * 2.0 * jnp.pi)
+    eye = jnp.broadcast_to(jnp.eye(3), (n_frames, 3, 3))
+    tvec = jnp.stack([trans_x, jnp.zeros_like(t), jnp.ones_like(t)], axis=-1)
+    ext_trans = jnp.concatenate([eye, tvec[:, :, None]], axis=-1)
+    base = camera_from_angles(
+        zeros, zeros, img_size, fov_ang=fov_ang, dist_radius=dist_radius
+    )
+    trans = CameraParams(
+        ext_trans, base.focal, base.near, base.far, base.viewpoint
+    )
+    return CameraParams(*[
+        jnp.concatenate([a, b], axis=0) for a, b in zip(trans, rot)
+    ])
+
+
+# -------------------------------------------------------------- rendering --
+
+
+def make_frame_renderer(model, params, *, truncation=1.0, mean_latents=None,
+                        ray_chunk=None):
+    """One jitted frame fn shared by every trajectory app: styles are
+    precomputed once (w-space), camera varies per frame."""
+
+    @jax.jit
+    def frame(style_render, style_decoder, extrinsics, focal, near, far, noise_bufs):
+        out = model.apply(
+            params,
+            style_render=style_render,
+            style_decoder=style_decoder,
+            cam_poses=extrinsics,
+            focals=focal,
+            near=near,
+            far=far,
+            noise_bufs=noise_bufs,
+            perturb=False,
+            ray_chunk=ray_chunk,
+        )
+        return out["rgb"], out["thumb_rgb"], out["depth"], out["xyz"]
+
+    return frame
+
+
+def get_styles(model, params, zs, truncation=1.0, mean_latents=None):
+    return model.apply(
+        params, zs, truncation, mean_latents, method="map_zs"
+    )
+
+
+def render_trajectory(
+    model,
+    params,
+    zs,
+    cams: CameraParams,
+    *,
+    truncation: float = 1.0,
+    mean_latents=None,
+    noise_bufs=None,
+    zero_noise: bool = False,
+    ray_chunk=None,
+):
+    """Render every frame of a camera trajectory with fixed latents
+    (_sample_multi_view_web hot loop, render_video_web_v10.py:1806-1824).
+
+    Returns dict of stacked host arrays: rgb (N,H,W,3) in [-1,1], thumb,
+    depth, xyz."""
+    style_render, style_decoder = get_styles(model, params, zs, truncation, mean_latents)
+    if noise_bufs is None:
+        bound = model.bind(params)
+        noise_bufs = bound.decoder.make_noise(
+            jax.random.PRNGKey(0), model.cfg.img_size
+        )
+    if zero_noise:
+        noise_bufs = [jnp.zeros_like(b) for b in noise_bufs]
+
+    frame = make_frame_renderer(model, params, ray_chunk=ray_chunk)
+    outs = {"rgb": [], "thumb_rgb": [], "depth": [], "xyz": []}
+    n = cams.extrinsics.shape[0]
+    for i in range(n):
+        rgb, thumb, depth, xyz = frame(
+            style_render,
+            style_decoder,
+            cams.extrinsics[i : i + 1],
+            cams.focal[i : i + 1],
+            cams.near[i : i + 1],
+            cams.far[i : i + 1],
+            noise_bufs,
+        )
+        outs["rgb"].append(np.asarray(rgb[0]))
+        outs["thumb_rgb"].append(np.asarray(thumb[0]))
+        outs["depth"].append(np.asarray(depth[0]))
+        outs["xyz"].append(np.asarray(xyz[0]))
+    return {k: np.stack(v) for k, v in outs.items()}
+
+
+# ------------------------------------------------------------ style mixing --
+
+
+def style_mixing_grid(
+    model,
+    params,
+    key,
+    n_rows: int,
+    n_cols: int,
+    cam: CameraParams,
+    truncation: float = 0.7,
+    mean_latents=None,
+    noise_bufs=None,
+):
+    """(rows: shape/render w) x (cols: appearance/decoder w) grid
+    (_style_mixing_web, render_video_web_v10.py:1901-2126): cell (i, j)
+    renders row i's renderer style with column j's decoder style."""
+    kr, kc = jax.random.split(key)
+    z_rows = jax.random.normal(kr, (n_rows, model.cfg.mapping.z_dim))
+    z_cols = jax.random.normal(kc, (n_cols, model.cfg.mapping.z_dim))
+
+    if noise_bufs is None:
+        noise_bufs = model.bind(params).decoder.make_noise(
+            jax.random.PRNGKey(1), model.cfg.img_size
+        )
+
+    frame = make_frame_renderer(model, params)
+    rows = []
+    for i in range(n_rows):
+        row_imgs = []
+        for j in range(n_cols):
+            sr, _ = get_styles(
+                model, params, (z_rows[i : i + 1], z_rows[i : i + 1]),
+                truncation, mean_latents,
+            )
+            _, sd = get_styles(
+                model, params, (z_cols[j : j + 1], z_cols[j : j + 1]),
+                truncation, mean_latents,
+            )
+            rgb, *_ = frame(
+                sr, sd, cam.extrinsics[:1], cam.focal[:1], cam.near[:1],
+                cam.far[:1], noise_bufs,
+            )
+            row_imgs.append(np.asarray(rgb[0]))
+        rows.append(np.concatenate(row_imgs, axis=1))
+    return np.concatenate(rows, axis=0)
+
+
+# -------------------------------------------------- decoder interpolation --
+
+
+def interpolate_decoder_params(params_a, params_b, gamma: float,
+                               submodules=("decoder",)):
+    """Per-layer lerp of decoder weights between two checkpoints =
+    stylization (interp_state_dict_decoder, render_video_web_v10.py:896-935).
+    gamma=0 -> a (photo model), gamma=1 -> b (style model)."""
+
+    def merge(tree_a, tree_b):
+        return jax.tree.map(lambda a, b: (1.0 - gamma) * a + gamma * b, tree_a, tree_b)
+
+    out = jax.tree.map(lambda x: x, params_a)  # shallow copy of structure
+    new_params = dict(out["params"])
+    for name in submodules:
+        new_params[name] = merge(params_a["params"][name], params_b["params"][name])
+    return {**out, "params": new_params}
+
+
+def save_video(frames: np.ndarray, path: str, fps: int = 30):
+    """[-1,1] float frames -> video (reference uses imageio/skvideo writers).
+
+    mp4 needs an ffmpeg backend; if unavailable (as in minimal installs),
+    falls back to an animated GIF next to the requested path."""
+    import imageio
+
+    u8 = ((np.clip(frames, -1, 1) + 1) * 127.5).astype(np.uint8)
+    try:
+        imageio.mimwrite(path, u8, fps=fps)
+    except (ValueError, ImportError):
+        path = path.rsplit(".", 1)[0] + ".gif"
+        imageio.mimwrite(path, u8, duration=1000.0 / fps, loop=0)
+    return path
+
+
+def save_image_grid(frames: np.ndarray, path: str, n_cols: int = 8):
+    from PIL import Image
+
+    n, h, w, c = frames.shape
+    n_rows = (n + n_cols - 1) // n_cols
+    grid = np.zeros((n_rows * h, n_cols * w, c), frames.dtype)
+    for i in range(n):
+        r, cc = divmod(i, n_cols)
+        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = frames[i]
+    u8 = ((np.clip(grid, -1, 1) + 1) * 127.5).astype(np.uint8)
+    Image.fromarray(u8).save(path)
+    return path

@@ -1,0 +1,142 @@
+"""App-level tests: trajectories, rendering, style mixing, decoder interp,
+flip-inversion (tiny model, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cips3dpp_tpu.core import sample_cameras
+from cips3dpp_tpu.models.generator import Generator
+from cips3dpp_tpu.apps.sample import (
+    yaw_trajectory,
+    circle_trajectory,
+    translate_rotate_trajectory,
+    render_trajectory,
+    style_mixing_grid,
+    interpolate_decoder_params,
+    slerp,
+)
+
+from test_models import tiny_config
+
+
+@pytest.fixture(scope="module")
+def tiny_gen():
+    cfg = tiny_config()  # 8^2 rays -> 32^2 output
+    model = Generator(cfg)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=1, img_size=cfg.img_size)
+    zs = (jnp.zeros((1, 256)), jnp.zeros((1, 256)))
+    params = model.init(
+        {"params": key, "perturb": key, "noise": key},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    return cfg, model, params
+
+
+def test_trajectories_shapes():
+    yaw = yaw_trajectory(12, 64)
+    assert yaw.extrinsics.shape == (12, 3, 4)
+    # sinusoidal sweep starts and ends at azim_range[0]
+    np.testing.assert_allclose(float(yaw.viewpoint[0, 0]), -0.3, atol=1e-6)
+    np.testing.assert_allclose(float(yaw.viewpoint[-1, 0]), -0.3, atol=1e-5)
+
+    circ = circle_trajectory(10, 64, fov_range=(5, 7))
+    assert circ.extrinsics.shape == (10, 3, 4)
+    # fov sweep changes focal length over the trajectory
+    assert float(circ.focal.max()) > float(circ.focal.min())
+
+    tr = translate_rotate_trajectory(6, 64)
+    assert tr.extrinsics.shape == (12, 3, 4)  # translate + rotate phases
+    rot_only = translate_rotate_trajectory(6, 64, only_rotate=True)
+    assert rot_only.extrinsics.shape == (6, 3, 4)
+    # roll: in-plane rotation keeps camera position fixed at (0,0,1)
+    np.testing.assert_allclose(
+        np.asarray(rot_only.extrinsics[:, :, 3]),
+        np.tile([0, 0, 1], (6, 1)), atol=1e-5,
+    )
+
+
+def test_render_trajectory(tiny_gen):
+    cfg, model, params = tiny_gen
+    cams = yaw_trajectory(3, cfg.img_size)
+    zs = (
+        jax.random.normal(jax.random.PRNGKey(2), (1, 256)),
+        jax.random.normal(jax.random.PRNGKey(3), (1, 256)),
+    )
+    out = render_trajectory(model, params, zs, cams)
+    assert out["rgb"].shape == (3, 32, 32, 3)
+    assert out["thumb_rgb"].shape == (3, 8, 8, 3)
+    assert out["depth"].shape == (3, 8, 8, 1)
+    # different cameras give different frames
+    assert not np.allclose(out["rgb"][0], out["rgb"][-1])
+    # zero-noise determinism
+    a = render_trajectory(model, params, zs, cams, zero_noise=True)
+    b = render_trajectory(model, params, zs, cams, zero_noise=True)
+    np.testing.assert_array_equal(a["rgb"], b["rgb"])
+
+
+def test_style_mixing_grid(tiny_gen):
+    cfg, model, params = tiny_gen
+    cam = sample_cameras(jax.random.PRNGKey(5), 1, cfg.img_size)
+    grid = style_mixing_grid(model, params, jax.random.PRNGKey(6), 2, 3, cam)
+    assert grid.shape == (2 * 32, 3 * 32, 3)
+
+
+def test_decoder_interpolation(tiny_gen):
+    cfg, model, params = tiny_gen
+    # "style" model: perturbed decoder weights
+    params_b = jax.tree.map(lambda x: x + 0.05, params)
+    mid = interpolate_decoder_params(params, params_b, 0.5)
+    dec_a = jax.tree.leaves(params["params"]["decoder"])[0]
+    dec_m = jax.tree.leaves(mid["params"]["decoder"])[0]
+    np.testing.assert_allclose(np.asarray(dec_m - dec_a), 0.025, atol=1e-6)
+    # non-decoder modules untouched
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(mid["params"]["renderer"])[0]),
+        np.asarray(jax.tree.leaves(params["params"]["renderer"])[0]),
+    )
+
+
+def test_slerp_endpoints():
+    z1 = jax.random.normal(jax.random.PRNGKey(0), (1, 8))
+    z2 = jax.random.normal(jax.random.PRNGKey(1), (1, 8))
+    np.testing.assert_allclose(np.asarray(slerp(z1, z2, 0.0)), np.asarray(z1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(slerp(z1, z2, 1.0)), np.asarray(z2), atol=1e-5)
+
+
+def test_flip_inversion_tiny(tiny_gen):
+    from cips3dpp_tpu.apps.inversion import Projector, InversionConfig
+    from cips3dpp_tpu.models.vgg import init_vgg
+
+    cfg, model, params = tiny_gen
+    vgg = init_vgg(jax.random.PRNGKey(0), img_size=32)
+    icfg = InversionConfig(
+        n_steps_pose=4, n_steps_app=6, n_steps_multiview=0,
+        flip_w_decoder_every=3, w_avg_samples=64,
+    )
+    proj = Projector(model, params, vgg, icfg)
+    target = np.asarray(
+        jnp.tanh(jax.random.normal(jax.random.PRNGKey(9), (32, 32, 3)))
+    )
+    logs = []
+    state, proj_img, report = proj.project(
+        target, key=jax.random.PRNGKey(1),
+        logger=lambda s, m: logs.append((s, m)), log_every=2,
+    )
+    assert proj_img.shape == (2, 32, 32, 3)
+    assert np.isfinite(report["psnr"]) and np.isfinite(report["loss"])
+    assert len(report["azim"]) == 2
+    assert logs  # logger fired
+
+    # save/load round trip
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = proj.save_inversion(os.path.join(d, "w.pkl"), state)
+        blob = Projector.load_inversion(p)
+        np.testing.assert_array_equal(
+            np.asarray(blob["w_render_opt"]), np.asarray(state.w_render)
+        )
