@@ -1,0 +1,475 @@
+"""Command-line launchers.
+
+The reference exposes every workflow as a unittest-method launcher that
+spawns streamlit / torch.distributed subprocesses (exp/tests/
+test_cips3dpp.py). Here each workflow is a plain subcommand over the same
+YAML section convention:
+
+    python -m cips3dpp_tpu.apps.cli <command> \
+        --cfg configs/ffhq_r1024.yaml --section train_r1024 \
+        --opts key.path value ...
+
+Commands: train, sphere-init, sample-multi-view, style-mixing,
+interpolate-decoder, invert, render-inverted, eval-fid, prepare-data,
+rendering-time, import-torch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _base_parser(desc):
+    p = argparse.ArgumentParser(description=desc)
+    p.add_argument("--cfg", type=str, default=None, help="YAML config file")
+    p.add_argument("--section", type=str, default=None, help="config section")
+    p.add_argument("--opts", nargs="*", default=[], help="dotted overrides")
+    p.add_argument("--outdir", type=str, default="results/run")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def _load_cfg(args) -> dict:
+    from ..io.config import load_command_config, apply_overrides
+
+    if args.cfg is None:
+        cfg = {}
+    else:
+        cfg = load_command_config(args.cfg, args.section)
+    return apply_overrides(cfg, args.opts)
+
+
+def _build_generator(cfg: dict):
+    import jax
+    from ..io.config import generator_config_from_dict
+    from ..models.generator import Generator
+
+    gcfg = generator_config_from_dict(cfg.get("G_cfg", {}))
+    return Generator(gcfg), gcfg
+
+
+def _load_params(model, gcfg, cfg, key=None):
+    """Load G params: orbax ckpt dir, torch .pth, or fresh init."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.camera import sample_cameras
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    ckpt = cfg.get("network_pkl") or cfg.get("ckpt")
+    cam = sample_cameras(jax.random.PRNGKey(1), 1, gcfg.img_size)
+    zs = (jnp.zeros((1, gcfg.mapping.z_dim)), jnp.zeros((1, gcfg.mapping.z_dim)))
+    params = model.init(
+        {"params": key, "perturb": key, "noise": key},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    if ckpt is None:
+        print("[cli] no checkpoint given: using random init", file=sys.stderr)
+        return params
+    if ckpt.endswith(".pth"):
+        from ..io.torch_import import (
+            load_torch_checkpoint,
+            import_generator_state_dict,
+        )
+
+        sd = load_torch_checkpoint(ckpt)
+        import math
+
+        n_blocks = int(math.log2(gcfg.decoder.size_end)) - int(
+            math.log2(gcfg.decoder.size_start)
+        )
+        return import_generator_state_dict(
+            sd,
+            n_renderer_layers=gcfg.renderer.n_layers,
+            n_decoder_blocks=n_blocks,
+            n_mapping_layers=gcfg.mapping.n_layers,
+            n_decoder_mapping_layers=gcfg.decoder.mapping_n_layers,
+        )
+    # orbax dir with a full TrainState: restore g_ema
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(ckpt))
+    if "params_g_ema" in restored:
+        return restored["params_g_ema"]
+    return restored
+
+
+def cmd_sample_multi_view(argv):
+    p = _base_parser("multi-view video sampling")
+    p.add_argument("--view-mode", default="yaw",
+                   choices=["yaw", "circle", "translate_rotate"])
+    p.add_argument("--n-frames", type=int, default=36)
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--truncation", type=float, default=0.7)
+    p.add_argument("--zero-noise", action="store_true")
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    from .sample import (
+        yaw_trajectory, circle_trajectory, translate_rotate_trajectory,
+        render_trajectory, save_video, save_image_grid,
+    )
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    zs = (
+        jax.random.normal(k1, (1, gcfg.mapping.z_dim)),
+        jax.random.normal(k2, (1, gcfg.mapping.z_dim)),
+    )
+    means = None
+    if args.truncation < 1:
+        means = model.apply(params, jax.random.PRNGKey(2), 10_000,
+                            method="mean_latents")
+
+    traj_fns = {
+        "yaw": lambda: yaw_trajectory(args.n_frames, gcfg.img_size,
+                                      fov_ang=gcfg.fov_ang,
+                                      dist_radius=gcfg.dist_radius),
+        "circle": lambda: circle_trajectory(args.n_frames, gcfg.img_size,
+                                            dist_radius=gcfg.dist_radius),
+        "translate_rotate": lambda: translate_rotate_trajectory(
+            args.n_frames, gcfg.img_size, fov_ang=gcfg.fov_ang,
+            dist_radius=gcfg.dist_radius),
+    }
+    cams = traj_fns[args.view_mode]()
+    out = render_trajectory(
+        model, params, zs, cams, truncation=args.truncation,
+        mean_latents=means, zero_noise=args.zero_noise,
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    vp = save_video(out["rgb"], f"{args.outdir}/video.mp4", fps=args.fps)
+    save_video(out["thumb_rgb"], f"{args.outdir}/video_thumb.mp4", fps=args.fps)
+    gp = save_image_grid(out["rgb"], f"{args.outdir}/frames.png")
+    print(json.dumps({"video": vp, "grid": gp, "frames": len(out["rgb"])}))
+
+
+def cmd_style_mixing(argv):
+    p = _base_parser("style mixing grid")
+    p.add_argument("--n-rows", type=int, default=4)
+    p.add_argument("--n-cols", type=int, default=4)
+    p.add_argument("--truncation", type=float, default=0.7)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    from ..core.camera import camera_from_angles
+    import jax.numpy as jnp
+    from .sample import style_mixing_grid
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    cam = camera_from_angles(jnp.zeros(1), jnp.zeros(1), gcfg.img_size,
+                             fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius)
+    means = model.apply(params, jax.random.PRNGKey(2), 10_000,
+                        method="mean_latents")
+    grid = style_mixing_grid(
+        model, params, jax.random.PRNGKey(args.seed), args.n_rows, args.n_cols,
+        cam, truncation=args.truncation, mean_latents=means,
+    )
+    os.makedirs(args.outdir, exist_ok=True)
+    from PIL import Image
+
+    u8 = ((np.clip(grid, -1, 1) + 1) * 127.5).astype(np.uint8)
+    path = f"{args.outdir}/style_mixing.png"
+    Image.fromarray(u8).save(path)
+    print(json.dumps({"grid": path, "shape": list(grid.shape)}))
+
+
+def cmd_interpolate_decoder(argv):
+    p = _base_parser("decoder weight interpolation (stylization)")
+    p.add_argument("--ckpt-b", type=str, required=True,
+                   help="style model checkpoint (.pth or orbax)")
+    p.add_argument("--gammas", type=float, nargs="*", default=[0, 0.25, 0.5, 0.75, 1.0])
+    p.add_argument("--n-frames", type=int, default=1)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    from ..core.camera import camera_from_angles
+    from .sample import interpolate_decoder_params, render_trajectory, save_image_grid
+
+    model, gcfg = _build_generator(cfg)
+    params_a = _load_params(model, gcfg, cfg)
+    params_b = _load_params(model, gcfg, {**cfg, "network_pkl": args.ckpt_b})
+    key = jax.random.PRNGKey(args.seed)
+    zs = (
+        jax.random.normal(key, (1, gcfg.mapping.z_dim)),
+        jax.random.normal(jax.random.fold_in(key, 1), (1, gcfg.mapping.z_dim)),
+    )
+    cam = camera_from_angles(jnp.zeros(1), jnp.zeros(1), gcfg.img_size,
+                             fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius)
+    frames = []
+    for g in args.gammas:
+        mixed = interpolate_decoder_params(params_a, params_b, g)
+        out = render_trajectory(model, mixed, zs, cam, zero_noise=True)
+        frames.append(out["rgb"][0])
+    os.makedirs(args.outdir, exist_ok=True)
+    path = save_image_grid(np.stack(frames), f"{args.outdir}/decoder_interp.png",
+                           n_cols=len(args.gammas))
+    print(json.dumps({"grid": path, "gammas": args.gammas}))
+
+
+def cmd_invert(argv):
+    p = _base_parser("flip inversion")
+    p.add_argument("--image", type=str, required=True)
+    p.add_argument("--vgg", type=str, default=None,
+                   help="torchvision vgg16 .pth for the perceptual loss")
+    p.add_argument("--azim-init", type=float, nargs=2, default=[0.0, 0.0])
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    from PIL import Image
+    from .inversion import Projector, InversionConfig
+    from ..models.vgg import init_vgg, import_torchvision_vgg16
+    from ..io.config import train_config_from_dict
+    from ..io.torch_import import load_torch_checkpoint
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    if args.vgg:
+        vgg = import_torchvision_vgg16(load_torch_checkpoint(args.vgg))
+    else:
+        print("[cli] no --vgg weights: random-VGG perceptual loss "
+              "(reference 'vgg16_conv_random' mode)", file=sys.stderr)
+        vgg = init_vgg(jax.random.PRNGKey(0))
+
+    import dataclasses
+
+    icfg_fields = {f.name for f in dataclasses.fields(InversionConfig)}
+    icfg = InversionConfig(
+        **{k: v for k, v in cfg.items() if k in icfg_fields}
+    )
+
+    size = gcfg.out_size
+    img = Image.open(args.image).convert("RGB")
+    w, h = img.size
+    s = min(w, h)
+    img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+    img = img.resize((size, size), Image.LANCZOS)
+    target = np.asarray(img, np.float32) / 127.5 - 1.0
+
+    proj = Projector(model, params, vgg, icfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    state, proj_img, report = proj.project(
+        target, key=jax.random.PRNGKey(args.seed),
+        azim_init=tuple(args.azim_init),
+        logger=lambda s, m: print(f"step {s}: {m}", file=sys.stderr),
+    )
+    u8 = ((np.clip(proj_img[0], -1, 1) + 1) * 127.5).astype(np.uint8)
+    Image.fromarray(u8).save(f"{args.outdir}/proj.png")
+    proj.save_inversion(f"{args.outdir}/w.pkl", state)
+    with open(f"{args.outdir}/report.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report))
+
+
+def cmd_render_inverted(argv):
+    p = _base_parser("multi-view rendering from a saved inversion")
+    p.add_argument("--inversion", type=str, required=True, help="w.pkl path")
+    p.add_argument("--n-frames", type=int, default=36)
+    p.add_argument("--fps", type=int, default=12)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    from .inversion import Projector
+    from .sample import yaw_trajectory, save_video, save_image_grid, make_frame_renderer
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    blob = Projector.load_inversion(args.inversion)
+    # restore fitted decoder params (render_video_web_v10.py:1039-1048)
+    params = {**params, "params": {**params["params"],
+                                   "decoder": blob["decoder_params"]}}
+
+    azim0 = float(blob["azim"][0, 0])
+    cams = yaw_trajectory(
+        args.n_frames, gcfg.img_size,
+        azim_range=(azim0 - 0.3, azim0 + 0.3),
+        elev=float(blob["elev"][0, 0]),
+        fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius,
+    )
+    frame = make_frame_renderer(model, params)
+    noise = [jnp.asarray(b) for b in blob["noise_bufs"]]
+    frames = []
+    for i in range(args.n_frames):
+        rgb, *_ = frame(
+            blob["w_render_opt"], blob["w_decoder_opt"],
+            cams.extrinsics[i : i + 1], cams.focal[i : i + 1],
+            cams.near[i : i + 1], cams.far[i : i + 1], noise,
+        )
+        frames.append(np.asarray(rgb[0]))
+    os.makedirs(args.outdir, exist_ok=True)
+    vp = save_video(np.stack(frames), f"{args.outdir}/inverted_views.mp4", args.fps)
+    gp = save_image_grid(np.stack(frames), f"{args.outdir}/inverted_views.png")
+    print(json.dumps({"video": vp, "grid": gp}))
+
+
+def cmd_eval_fid(argv):
+    p = _base_parser("FID/KID evaluation")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--n-images", type=int, default=2048)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--inception", type=str, default=None,
+                   help="pt_inception .pth weights")
+    p.add_argument("--kid", action="store_true")
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    from ..io.dataset import open_dataset, data_iterator
+    from ..models.inception import init_inception, import_torch_inception
+    from .eval_fid import eval_fid
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    if args.inception:
+        from ..io.torch_import import load_torch_checkpoint
+
+        incep = import_torch_inception(load_torch_checkpoint(args.inception))
+    else:
+        print("[cli] no --inception weights: random-feature FID "
+              "(relative metric only, not comparable to published FID)",
+              file=sys.stderr)
+        incep = init_inception(jax.random.PRNGKey(0))
+
+    ds = open_dataset(args.data, resolution=gcfg.out_size)
+    it = data_iterator(ds, args.batch, seed=args.seed)
+    n_batches = args.n_images // args.batch
+    real = (next(it) for _ in range(n_batches))
+    res = eval_fid(model, params, real, incep, n_fake=args.n_images,
+                   batch_size=args.batch, key=jax.random.PRNGKey(args.seed),
+                   with_kid=args.kid)
+    print(json.dumps(dataclasses_asdict(res)))
+
+
+def dataclasses_asdict(x):
+    import dataclasses
+
+    return dataclasses.asdict(x)
+
+
+def cmd_train(argv):
+    p = _base_parser("GAN training")
+    p.add_argument("--data", type=str, required=True)
+    p.add_argument("--total-iters", type=int, default=None)
+    p.add_argument("--no-sphere-init", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--n-devices", type=int, default=None)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    from ..io.config import train_config_from_dict
+    from ..io.dataset import open_dataset, data_iterator
+    from ..models.discriminator import DStyleGANProgressive
+    from ..models.discriminator_pose import DVolumeRenderProgressive
+    from ..parallel import make_mesh
+    from .cli_train_impl import run_training
+
+    run_training(args, cfg)
+
+
+def cmd_sphere_init(argv):
+    p = _base_parser("SDF sphere initialisation only")
+    p.add_argument("--n-iters", type=int, default=10000)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+    from .cli_train_impl import run_sphere_init
+
+    run_sphere_init(args, cfg)
+
+
+def cmd_prepare_data(argv):
+    p = _base_parser("dataset preparation (images -> npy shards)")
+    p.add_argument("--src", type=str, required=True)
+    p.add_argument("--sizes", type=int, nargs="*", default=[1024])
+    args = p.parse_args(argv)
+    from ..io.dataset import prepare_images
+
+    out = prepare_images(args.src, args.outdir, sizes=args.sizes)
+    print(json.dumps({"outdir": out}))
+
+
+def cmd_rendering_time(argv):
+    p = _base_parser("rendering throughput benchmark")
+    p.add_argument("--n-frames", type=int, default=128)
+    args = p.parse_args(argv)
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py"), str(args.n_frames)],
+        check=True,
+    )
+
+
+def cmd_import_torch(argv):
+    p = _base_parser("convert a reference G_ema.pth to an orbax checkpoint")
+    p.add_argument("--pth", type=str, required=True)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    from ..io.torch_import import load_torch_checkpoint, import_generator_state_dict
+    import orbax.checkpoint as ocp
+    import math
+
+    model, gcfg = _build_generator(cfg)
+    sd = load_torch_checkpoint(args.pth)
+    n_blocks = int(math.log2(gcfg.decoder.size_end)) - int(
+        math.log2(gcfg.decoder.size_start)
+    )
+    params = import_generator_state_dict(
+        sd, n_renderer_layers=gcfg.renderer.n_layers, n_decoder_blocks=n_blocks,
+        n_mapping_layers=gcfg.mapping.n_layers,
+        n_decoder_mapping_layers=gcfg.decoder.mapping_n_layers,
+    )
+    ckptr = ocp.StandardCheckpointer()
+    out = os.path.abspath(os.path.join(args.outdir, "g_ema"))
+    ckptr.save(out, params, force=True)
+    ckptr.wait_until_finished()
+    print(json.dumps({"ckpt": out}))
+
+
+COMMANDS = {
+    "train": cmd_train,
+    "sphere-init": cmd_sphere_init,
+    "sample-multi-view": cmd_sample_multi_view,
+    "style-mixing": cmd_style_mixing,
+    "interpolate-decoder": cmd_interpolate_decoder,
+    "invert": cmd_invert,
+    "render-inverted": cmd_render_inverted,
+    "eval-fid": cmd_eval_fid,
+    "prepare-data": cmd_prepare_data,
+    "rendering-time": cmd_rendering_time,
+    "import-torch": cmd_import_torch,
+}
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("commands:", ", ".join(COMMANDS))
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; have {sorted(COMMANDS)}", file=sys.stderr)
+        return 2
+    COMMANDS[cmd](argv[1:])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

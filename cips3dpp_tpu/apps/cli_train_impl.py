@@ -1,0 +1,89 @@
+"""Training command implementation (kept out of cli.py for import weight)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _setup(args, cfg):
+    import jax
+    from ..io.config import generator_config_from_dict, train_config_from_dict
+    from ..models.generator import Generator
+    from ..models.discriminator import DStyleGANProgressive
+    from ..models.discriminator_pose import DVolumeRenderProgressive
+    from ..parallel import make_mesh
+    from ..train.train_loop import Trainer
+
+    gcfg = generator_config_from_dict(cfg.get("G_cfg", {}))
+    tcfg = train_config_from_dict(cfg)
+    gen = Generator(gcfg)
+    d_cfg = cfg.get("D_cfg", {})
+    dr_cfg = cfg.get("D_renderer_cfg", {})
+    d_dec = DStyleGANProgressive(
+        input_size=d_cfg.get("input_size", 1024),
+        channel_multiplier=d_cfg.get("channel_multiplier", 2),
+        pretrained_size=d_cfg.get("pretrained_size"),
+        diffaug=d_cfg.get("diffaug", False),
+    )
+    d_ren = DVolumeRenderProgressive(
+        input_size=dr_cfg.get("input_size", 1024),
+        viewpoint_loss=dr_cfg.get("viewpoint_loss", True),
+        pretrained_size=dr_cfg.get("pretrained_size"),
+    )
+    n_dev = getattr(args, "n_devices", None)
+    mesh = make_mesh(n_dev) if (n_dev or len(jax.devices()) > 1) else None
+
+    trainer = Trainer(
+        gen, d_dec, d_ren, gcfg, tcfg, args.outdir, mesh=mesh,
+        config_snapshot=cfg,
+    )
+    return trainer, gcfg, tcfg
+
+
+def run_sphere_init(args, cfg):
+    import jax
+
+    trainer, gcfg, tcfg = _setup(args, cfg)
+    state = trainer.init_state(
+        jax.random.PRNGKey(args.seed), (2, tcfg.data_img_size, tcfg.data_img_size, 3)
+    )
+    state = trainer.sphere_init(state, jax.random.PRNGKey(args.seed + 1),
+                                n_iters=getattr(args, "n_iters", None))
+    trainer.checkpointer().save(0, state, config=cfg)
+    print(json.dumps({"ckpt": os.path.join(args.outdir, "ckpt"), "step": 0}))
+
+
+def run_training(args, cfg):
+    import jax
+    from ..io.dataset import open_dataset, data_iterator
+
+    trainer, gcfg, tcfg = _setup(args, cfg)
+    state = trainer.init_state(
+        jax.random.PRNGKey(args.seed), (2, tcfg.data_img_size, tcfg.data_img_size, 3)
+    )
+
+    start = 0
+    if args.resume:
+        restored, start = trainer.resume(state)
+        if restored is not None:
+            state = restored
+            print(f"[train] resumed from step {start}", file=sys.stderr)
+
+    if tcfg.init_renderer and start == 0 and not args.no_sphere_init:
+        state = trainer.sphere_init(state, jax.random.PRNGKey(args.seed + 1))
+
+    ds = open_dataset(args.data, resolution=tcfg.data_img_size)
+    it = data_iterator(ds, tcfg.batch, seed=args.seed)
+
+    state = trainer.train(
+        state, it, jax.random.PRNGKey(args.seed + 2),
+        start_iter=start, total_iters=args.total_iters,
+    )
+    trainer.checkpointer().save(
+        args.total_iters or tcfg.total_iters, state, config=cfg
+    )
+    print(json.dumps({"outdir": args.outdir, "done": True}))
