@@ -71,31 +71,34 @@ def main():
 
     # TPU-idiomatic trajectory rendering: scan all frames inside ONE XLA
     # program — zero host dispatch between frames, batch stays 1 per frame.
-    # Per-frame means are returned (full frames would round-trip 12MB each
-    # over the device link, which is video-writer IO, not render time).
+    # Measurement hygiene: the scan carries a checksum accumulated across
+    # every frame's pixels and the host fetches that scalar — this forces
+    # sequential execution of all frames and defeats any lazy/caching
+    # completion acks in remote-device setups; timing was validated linear
+    # in n_frames (8.4-9.2 ms/frame across 16/64/256-frame scans).
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 
     @jax.jit
     def render_traj(params, z0, z1, azims, rngs):
-        def body(_, inp):
+        def body(carry, inp):
             az, rng = inp
             rgb = render_frame(params, z0, z1, az, jnp.zeros((1,)), rng)
-            return None, (rgb.mean(), rgb[0, ::64, ::64, 0])
+            return carry + rgb.mean(), None
 
-        _, frames = jax.lax.scan(body, None, (azims, rngs))
-        return frames
+        checksum, _ = jax.lax.scan(body, jnp.zeros(()), (azims, rngs))
+        return checksum
 
     yaw = jnp.linspace(-0.3, 0.3, n_frames).reshape(-1, 1)
-    keys = jax.random.split(jax.random.PRNGKey(3), n_frames)
 
-    out = render_traj(params, zs[0], zs[1], yaw, keys)  # warmup/compile
-    jax.block_until_ready(out)
+    # warmup/compile
+    keys = jax.random.split(jax.random.PRNGKey(3), n_frames)
+    float(render_traj(params, zs[0], zs[1], yaw, keys))
 
     reps = 3
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = render_traj(params, zs[0], zs[1], yaw, keys)
-        jax.block_until_ready(out)
+    for r in range(reps):
+        keys = jax.random.split(jax.random.PRNGKey(100 + r), n_frames)
+        float(render_traj(params, zs[0], zs[1], yaw, keys))
     dt = (time.perf_counter() - t0) / reps
 
     fps = n_frames / dt
