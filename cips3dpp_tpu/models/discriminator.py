@@ -155,7 +155,7 @@ class DStyleGANProgressive(nn.Module):
         for ls in range(log_input_size, log_pretrained, -1):
             out = blocks[ls](out)
 
-        if log_pretrained < log_input_size:
+        if log_pretrained < log_input_size and log_pretrained in conv_ins:
             factor = 2 ** (log_input_size - log_pretrained)
             x_down = jax.image.resize(
                 x,

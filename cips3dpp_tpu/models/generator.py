@@ -37,6 +37,7 @@ class RendererConfig:
     input_dim: int = 3
     view_dim: int = 3
     with_sdf: bool = True
+    dtype: str = "float32"  # SIREN storage dtype; "bfloat16" for serving
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +58,7 @@ class DecoderConfig:
     style_dim: int = 512
     mapping_n_layers: int = 5
     mapping_lr_mul: float = 0.01
+    dtype: str = "float32"  # conv compute dtype; "bfloat16" for serving
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,6 +68,9 @@ class GeneratorConfig:
     decoder: DecoderConfig = DecoderConfig()
     renderer_detach: bool = False
     freeze_renderer: bool = False
+    # StyleSDF stage-1 mode (train_volume_renderer): no SR decoder, the
+    # thumbnail IS the output (reference G_cfg.enable_decoder).
+    enable_decoder: bool = True
     # camera / nerf defaults (train_cips3d_ffhq_v10.yaml:128-141)
     img_size: int = 64
     n_samples: int = 24
@@ -102,6 +107,16 @@ def preset_r64():
         GeneratorConfig(),
         renderer=dataclasses.replace(RendererConfig(), n_layers=8),
         decoder=dataclasses.replace(DecoderConfig(), upsample_list=()),
+    )
+
+
+def preset_serving():
+    """Flagship r1024 in bf16 serving mode: SIREN storage + decoder compute
+    in bfloat16 (phase math, integration and the RGB skip stay fp32)."""
+    return dataclasses.replace(
+        GeneratorConfig(),
+        renderer=dataclasses.replace(RendererConfig(), dtype="bfloat16"),
+        decoder=dataclasses.replace(DecoderConfig(), dtype="bfloat16"),
     )
 
 
@@ -150,6 +165,7 @@ class Generator(nn.Module):
             input_dim=c.renderer.input_dim,
             view_dim=c.renderer.view_dim,
             with_sdf=c.renderer.with_sdf,
+            dtype=c.renderer.dtype,
         )
         self.decoder = Decoder(
             size_start=c.decoder.size_start,
@@ -158,6 +174,7 @@ class Generator(nn.Module):
             channel_multiplier=c.decoder.channel_multiplier,
             kernel_size=c.decoder.kernel_size,
             upsample_list=tuple(c.decoder.upsample_list),
+            dtype=c.decoder.dtype,
         )
 
     # ----- mapping networks ------------------------------------------------
@@ -306,7 +323,10 @@ class Generator(nn.Module):
         if renderer_detach:
             features = jax.lax.stop_gradient(features)
 
-        rgb = self.decoder(features, style_decoder, noise=noise_bufs)
+        if self.cfg.enable_decoder:
+            rgb = self.decoder(features, style_decoder, noise=noise_bufs)
+        else:
+            rgb = thumb_rgb
 
         return {
             "rgb": rgb,

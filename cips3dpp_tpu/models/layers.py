@@ -333,7 +333,7 @@ class NoiseInjection(nn.Module):
         if noise is None:
             b, h, ww, _ = x.shape
             noise = jax.random.normal(self.make_rng("noise"), (b, h, ww, 1), x.dtype)
-        return x + w * noise
+        return x + w.astype(x.dtype) * noise.astype(x.dtype)
 
 
 class StyledConv(nn.Module):
@@ -372,7 +372,10 @@ class ToRGB(nn.Module):
     def __call__(self, x, style, skip=None):
         out = ModulatedConv2d(3, 1, demodulate=False, name="conv")(x, style)
         b = self.param("bias", nn.initializers.zeros, (3,))
-        out = out + b
+        # RGB skip accumulation in fp32 regardless of conv compute dtype:
+        # the 3-channel maps are cheap and the repeated skip sums would lose
+        # precision in bf16.
+        out = out.astype(jnp.float32) + b
         if skip is not None:
             if self.upsample:
                 skip = upsample2x(skip, self.blur_kernel)

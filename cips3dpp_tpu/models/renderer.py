@@ -29,6 +29,8 @@ class VolumeFeatureRenderer(nn.Module):
     input_dim: int = 3
     view_dim: int = 3
     with_sdf: bool = True
+    # SIREN activation storage dtype; phase math stays fp32 (see FiLMSiren).
+    dtype: str = "float32"
 
     def setup(self):
         self.sigmoid_beta = self.param(
@@ -45,7 +47,11 @@ class VolumeFeatureRenderer(nn.Module):
         """concat(pts, broadcast viewdirs) -> SIREN (volume_renderer.py:285-303)."""
         dirs = jnp.broadcast_to(viewdirs[..., None, :], normalized_pts.shape)
         net_in = jnp.concatenate([normalized_pts, dirs], axis=-1)
-        return self.network(net_in, styles)
+        net_in = net_in.astype(jnp.dtype(self.dtype))
+        rgb, sdf, feats = self.network(net_in, styles)
+        # integration runs fp32 regardless of the MLP storage dtype
+        f32 = jnp.float32
+        return rgb.astype(f32), sdf.astype(f32), feats.astype(f32)
 
     def __call__(
         self,

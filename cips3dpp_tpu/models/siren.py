@@ -74,7 +74,12 @@ class FiLMSiren(nn.Module):
             w_init = _siren_uniform(lambda n: np.sqrt(6.0 / n) / 25.0)
         w = self.param("weight", w_init, (in_dim, self.out_dim))
         b = self.param("bias", uniform_bound(np.sqrt(1.0 / in_dim)), (self.out_dim,))
-        lin = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype) + b
+        # Matmul inputs may be bf16 (storage/HBM halved, MXU rate doubled)
+        # but the accumulation and the whole phase computation stay fp32:
+        # sin() with gamma ~ 30 would lose phase accuracy in bf16.
+        lin = jnp.dot(
+            x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ) + b
 
         gamma = SirenLinear(self.out_dim, std=15.0, shift=30.0, name="gamma")(style)
         beta = SirenLinear(self.out_dim, std=0.25, shift=0.0, name="beta")(style)
@@ -83,7 +88,7 @@ class FiLMSiren(nn.Module):
         extra = lin.ndim - gamma.ndim
         gamma = gamma.reshape(gamma.shape[:1] + (1,) * extra + gamma.shape[1:])
         beta = beta.reshape(beta.shape[:1] + (1,) * extra + beta.shape[1:])
-        return jnp.sin(gamma * lin + beta)
+        return jnp.sin(gamma * lin + beta).astype(x.dtype)
 
 
 class SirenGenerator(nn.Module):

@@ -36,7 +36,8 @@ def fused_leaky_relu(
     if bias is not None:
         shape = [1] * x.ndim
         shape[channel_axis] = bias.shape[0]
-        x = x + bias.reshape(shape)
+        # keep the compute dtype: fp32 bias must not upcast bf16 activations
+        x = x + bias.reshape(shape).astype(x.dtype)
     y = jnp.where(x >= 0, x, x * negative_slope)
     if scale != 1.0:
         y = y * scale

@@ -127,21 +127,28 @@ def make_train_steps(
                 else 0.0
             )
 
-            # image D (update_D_decoder :104-134): lazy R1
-            fake_pred = d_decoder.apply(params_d, fake_rgb, alpha=alpha)
-            real_pred = d_decoder.apply(params_d, real_imgs, alpha=alpha)
-            d_gan = d_logistic_loss(real_pred, fake_pred)
-            if d_regularize:
-                r1_d = (
-                    cfg.lambda_gp
-                    * 0.5
-                    * cfg.d_reg_every
-                    * r1_penalty(
-                        lambda x: d_decoder.apply(params_d, x, alpha=alpha), real_imgs
+            # image D (update_D_decoder :104-134): lazy R1. Skipped entirely
+            # in decoder-less (StyleSDF stage-1) mode (train_v10.py:226).
+            if gen_cfg.enable_decoder:
+                fake_pred = d_decoder.apply(params_d, fake_rgb, alpha=alpha)
+                real_pred = d_decoder.apply(params_d, real_imgs, alpha=alpha)
+                d_gan = d_logistic_loss(real_pred, fake_pred)
+                if d_regularize:
+                    r1_d = (
+                        cfg.lambda_gp
+                        * 0.5
+                        * cfg.d_reg_every
+                        * r1_penalty(
+                            lambda x: d_decoder.apply(params_d, x, alpha=alpha),
+                            real_imgs,
+                        )
                     )
-                )
+                else:
+                    r1_d = 0.0
             else:
-                r1_d = 0.0
+                zero = 0.0 * jax.tree.leaves(params_d)[0].sum()
+                fake_pred = real_pred = jnp.zeros((1, 1))
+                d_gan, r1_d = zero, 0.0
 
             total = d_gan_r + r1_r + pose + d_gan + r1_d
             metrics = {
@@ -211,8 +218,11 @@ def make_train_steps(
                 if (cfg.lambda_min_surf > 0 and cfg.sdf_reg)
                 else 0.0
             )
-            fake_pred = d_decoder.apply(state.params_d, ret["rgb"], alpha=alpha)
-            g_gan = g_nonsaturating_loss(fake_pred)
+            if gen_cfg.enable_decoder:
+                fake_pred = d_decoder.apply(state.params_d, ret["rgb"], alpha=alpha)
+                g_gan = g_nonsaturating_loss(fake_pred)
+            else:
+                g_gan = 0.0
 
             total = g_gan_r + pose + eik + min_surf + g_gan
             metrics = {
