@@ -23,9 +23,16 @@ BASELINE_FPS = 46.93
 
 def main():
     from cips3dpp_tpu.core import camera_from_angles
-    from cips3dpp_tpu.models.generator import Generator, GeneratorConfig
+    from cips3dpp_tpu.models.generator import (
+        Generator,
+        GeneratorConfig,
+        preset_serving,
+    )
 
-    cfg = GeneratorConfig()
+    fp32 = "--fp32" in sys.argv
+    # serving config: bf16 decoder compute + Pallas fused SIREN renderer
+    cfg = GeneratorConfig() if fp32 else preset_serving()
+    fused = not fp32
     model = Generator(cfg)
     key = jax.random.PRNGKey(0)
 
@@ -65,6 +72,7 @@ def main():
             focals=cam.focal,
             near=cam.near,
             far=cam.far,
+            fused_renderer=fused,
             rngs={"perturb": k1, "noise": k2},
         )
         return out["rgb"]
@@ -76,7 +84,8 @@ def main():
     # sequential execution of all frames and defeats any lazy/caching
     # completion acks in remote-device setups; timing was validated linear
     # in n_frames (8.4-9.2 ms/frame across 16/64/256-frame scans).
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_frames = int(args[0]) if args else 128
 
     @jax.jit
     def render_traj(params, z0, z1, azims, rngs):

@@ -247,6 +247,7 @@ class Generator(nn.Module):
         renderer_detach: bool | None = None,
         path_reg: bool = False,
         sample_idx: tuple | None = None,  # (idx_h (B,hs), idx_w (B,ws))
+        fused_renderer: bool = False,  # Pallas fast path (inference)
     ):
         c = self.cfg
         img_size = img_size or c.img_size
@@ -311,6 +312,7 @@ class Generator(nn.Module):
             styles=style_render,
             return_eikonal=eikonal_reg,
             ray_chunk=ray_chunk,
+            fused=fused_renderer,
         )
 
         thumb_rgb = thumb_rgb.reshape(b, h, w, 3)

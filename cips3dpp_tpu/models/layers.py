@@ -262,6 +262,10 @@ class ModulatedConv2d(nn.Module):
                 y = modulated_matmul(
                     x.reshape(b, -1, cin), weight[0, 0], s, self.demodulate
                 ).reshape(b, h, w_sp, self.out_channel)
+                if len(self.blur_kernel) == 4 and (pad0, pad1 - 1) == (2, 1):
+                    # standard schedule -> separable shift-add fast path
+                    # (depthwise convs bypass the MXU; see upsample2x)
+                    return upsample2x(y, self.blur_kernel)
                 kblur = make_blur_kernel(tuple(self.blur_kernel), factor)
                 return upfirdn2d(y, kblur, up=2, pad=(pad0, pad1 - 1))
             # general k: grouped transposed conv via lhs_dilation

@@ -64,9 +64,31 @@ class VolumeFeatureRenderer(nn.Module):
         styles,  # (B, depth+1, style_dim)
         return_eikonal: bool = False,
         ray_chunk: int | None = None,
+        fused: bool = False,
     ):
         """Returns (thumb_rgb (B,R,3), feature_map (B,R,C), sdf (B,R,N,1),
-        mask_depth (B,R,2), xyz (B,R,3), eikonal (B,R,N,3) | None)."""
+        mask_depth (B,R,2), xyz (B,R,3), eikonal (B,R,N,3) | None).
+
+        fused=True routes through the Pallas SIREN+integration kernel
+        (kernels/siren_render.py) — inference-only (no eikonal), depth-2
+        flagship geometry, applied per batch item via vmap."""
+        if fused and self.depth == 2 and not return_eikonal and self.with_sdf:
+            from ..kernels.siren_render import siren_render_fused
+
+            rp = self.variables["params"]
+            near_s = near.reshape(-1)[0]
+            far_s = far.reshape(-1)[0]
+
+            def one(styles_i, pts_i, viewdirs_i, z_vals_i, rays_d_i):
+                return siren_render_fused(
+                    rp, styles_i, pts_i, viewdirs_i, z_vals_i, rays_d_i,
+                    near_s, far_s,
+                )
+
+            thumb, feat, sdf, maskd, xyz = jax.vmap(one)(
+                styles, pts, viewdirs, z_vals, rays_d
+            )
+            return thumb, feat, sdf, maskd, xyz, None
 
         def render_tile(pts_t, rays_d_t, viewdirs_t, z_vals_t):
             if return_eikonal:

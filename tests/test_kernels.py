@@ -1,0 +1,90 @@
+"""Pallas kernel parity tests (interpret mode on CPU) vs jnp oracles —
+the reference's CPU-fallback-as-oracle pattern (SURVEY.md §4.4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cips3dpp_tpu.kernels.siren_render import (
+    siren_render_fused,
+    siren_render_reference,
+    _pack_siren_params,
+)
+
+
+def _make_renderer_params(key, width=256):
+    """Random params in the renderer tree layout (depth-2 flagship)."""
+    ks = jax.random.split(key, 32)
+    i = iter(range(32))
+
+    def lin(k1, k2, din, dout, s=0.05):
+        return {
+            "weight": s * jax.random.normal(k1, (din, dout)),
+            "bias": 0.1 * jax.random.normal(k2, (dout,)),
+        }
+
+    def film(din, dout, sd=256):
+        return {
+            **lin(ks[next(i)], ks[next(i)], din, dout),
+            "gamma": lin(ks[next(i)], ks[next(i)], sd, dout, s=0.02),
+            "beta": lin(ks[next(i)], ks[next(i)], sd, dout, s=0.02),
+        }
+
+    net = {
+        "pts_0": film(3, width),
+        "pts_1": film(width, width),
+        "views": film(width + 3, width),
+        "sigma_head": lin(ks[next(i)], ks[next(i)], width, 1),
+        "rgb_head": lin(ks[next(i)], ks[next(i)], width, 3),
+    }
+    return {"sigmoid_beta": jnp.asarray([0.1]), "network": net}
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = _make_renderer_params(key, width=128)
+    r, s = 512, 24
+    styles = jax.random.normal(jax.random.PRNGKey(1), (3, 256))
+    pts = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (r, s, 3))
+    viewdirs = jax.random.normal(jax.random.PRNGKey(3), (r, 3))
+    viewdirs = viewdirs / jnp.linalg.norm(viewdirs, axis=-1, keepdims=True)
+    z_base = jnp.linspace(0.88, 1.12, s)
+    z_vals = jnp.broadcast_to(z_base, (r, s)) + 0.001 * jax.random.normal(
+        jax.random.PRNGKey(4), (r, 1)
+    )
+    rays_d = viewdirs * 1.05
+    near = jnp.asarray(0.88)
+    far = jnp.asarray(1.12)
+    return params, styles, pts, viewdirs, z_vals, rays_d, near, far
+
+
+def test_fused_matches_reference_interpret(setup):
+    params, styles, pts, viewdirs, z_vals, rays_d, near, far = setup
+    ref = siren_render_reference(
+        params, styles, pts, viewdirs, z_vals, rays_d, near, far
+    )
+    fused = siren_render_fused(
+        params, styles, pts, viewdirs, z_vals, rays_d, near, far,
+        ray_tile=128, interpret=True,
+    )
+    names = ["thumb", "feat", "sdf", "mask_depth", "xyz"]
+    # sin(gamma~30 * x) amplifies bf16 rounding: raw per-sample features are
+    # the most sensitive output; the composited image values match tightly.
+    atol = {"thumb": 2e-2, "feat": 1.5e-1, "sdf": 2e-2, "mask_depth": 2e-2,
+            "xyz": 2e-2}
+    for name, a, b in zip(names, ref, fused):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, (name, a.shape, b.shape)
+        np.testing.assert_allclose(a, b, atol=atol[name], err_msg=name)
+
+
+def test_fused_packing_shapes(setup):
+    params, styles, *_ = setup
+    w = _pack_siren_params(params["network"], styles)
+    assert w[0].shape == (3, 128)  # w0
+    assert w[2].shape == (1, 128)  # gamma0
+    assert w[8].shape == (131, 128)  # view layer weight
+    assert w[12].shape == (128, 1)  # sdf head
+    assert w[14].shape == (128, 3)  # rgb head

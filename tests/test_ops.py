@@ -59,6 +59,17 @@ def test_upsample_downsample_shapes():
     assert downsample2x(x).shape == (1, 8, 8, 4)
 
 
+def test_upsample2x_separable_matches_conv_path():
+    """The shift-add fast path must equal the generic upfirdn conv path."""
+    from cips3dpp_tpu.ops.upfirdn2d import make_blur_kernel, upfirdn2d
+
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 9, 7, 5), jnp.float32)
+    got = upsample2x(x)  # separable fast path (4-tap kernel)
+    k = make_blur_kernel((1, 3, 3, 1), upsample_factor=2)
+    want = upfirdn2d(x, k, up=2, down=1, pad=(2, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
 def test_upsample_preserves_dc():
     # The x4 kernel gain makes a constant image stay constant under 2x up.
     x = jnp.full((1, 8, 8, 1), 3.0)
