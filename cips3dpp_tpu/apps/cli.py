@@ -148,8 +148,55 @@ def cmd_sample_multi_view(argv):
     os.makedirs(args.outdir, exist_ok=True)
     vp = save_video(out["rgb"], f"{args.outdir}/video.mp4", fps=args.fps)
     save_video(out["thumb_rgb"], f"{args.outdir}/video_thumb.mp4", fps=args.fps)
+    # depth-surface video from the xyz map (reference renders a Delaunay
+    # mesh through pytorch3d; here a normal-shaded xyz map, utils/mesh.py)
+    from ..utils.mesh import depth_to_normal_shading
+
+    depth_frames = np.stack([depth_to_normal_shading(x) for x in out["xyz"]])
+    save_video(depth_frames, f"{args.outdir}/video_depth.mp4", fps=args.fps)
     gp = save_image_grid(out["rgb"], f"{args.outdir}/frames.png")
     print(json.dumps({"video": vp, "grid": gp, "frames": len(out["rgb"])}))
+
+
+def cmd_interpolate_z(argv):
+    """Latent slerp video (reference _interpolate_z_web)."""
+    p = _base_parser("z-space slerp interpolation video")
+    p.add_argument("--n-frames", type=int, default=24)
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--truncation", type=float, default=0.7)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    from ..core.camera import camera_from_angles
+    from .sample import slerp, render_trajectory, save_video, save_image_grid
+    from cips3dpp_tpu.core.camera import CameraParams
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    za = (jax.random.normal(k1, (1, gcfg.mapping.z_dim)),
+          jax.random.normal(k2, (1, gcfg.mapping.z_dim)))
+    zb = (jax.random.normal(k3, (1, gcfg.mapping.z_dim)),
+          jax.random.normal(k4, (1, gcfg.mapping.z_dim)))
+    means = model.apply(params, jax.random.PRNGKey(2), 10_000,
+                        method="mean_latents")
+    cam = camera_from_angles(jnp.zeros(1), jnp.zeros(1), gcfg.img_size,
+                             fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius)
+    frames = []
+    for i in range(args.n_frames):
+        t = i / max(args.n_frames - 1, 1)
+        zs = (slerp(za[0], zb[0], t), slerp(za[1], zb[1], t))
+        out = render_trajectory(model, params, zs, cam,
+                                truncation=args.truncation,
+                                mean_latents=means, zero_noise=True)
+        frames.append(out["rgb"][0])
+    os.makedirs(args.outdir, exist_ok=True)
+    vp = save_video(np.stack(frames), f"{args.outdir}/interp_z.mp4", args.fps)
+    gp = save_image_grid(np.stack(frames), f"{args.outdir}/interp_z.png")
+    print(json.dumps({"video": vp, "grid": gp}))
 
 
 def cmd_style_mixing(argv):
@@ -368,6 +415,12 @@ def cmd_train(argv):
     p.add_argument("--no-sphere-init", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--finetune-dir", type=str, default=None,
+                   help="checkpoint dir to initialise G/G_ema/Ds from "
+                        "(reference tl_finetune, train_v10.py:1225-1245)")
+    p.add_argument("--fid-data", type=str, default=None,
+                   help="real-image dir for in-training FID")
+    p.add_argument("--inception", type=str, default=None)
     args = p.parse_args(argv)
     cfg = _load_cfg(args)
 
@@ -447,6 +500,7 @@ COMMANDS = {
     "train": cmd_train,
     "sphere-init": cmd_sphere_init,
     "sample-multi-view": cmd_sample_multi_view,
+    "interpolate-z": cmd_interpolate_z,
     "style-mixing": cmd_style_mixing,
     "interpolate-decoder": cmd_interpolate_decoder,
     "invert": cmd_invert,

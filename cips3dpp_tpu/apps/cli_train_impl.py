@@ -73,15 +73,54 @@ def run_training(args, cfg):
             state = restored
             print(f"[train] resumed from step {start}", file=sys.stderr)
 
-    if tcfg.init_renderer and start == 0 and not args.no_sphere_init:
+    if getattr(args, "finetune_dir", None) and start == 0:
+        # Finetune (reference tl_finetune, train_v10.py:1225-1245): load all
+        # models from the source run; G starts from G_ema.
+        from ..io.checkpoint import CheckpointManager
+
+        src = CheckpointManager(args.finetune_dir)
+        restored = src.restore(state)
+        state = restored.replace(
+            params_g=jax.tree.map(lambda x: x.copy(), restored.params_g_ema),
+            step=state.step,
+        )
+        print(f"[train] finetuning from {args.finetune_dir}", file=sys.stderr)
+
+    if tcfg.init_renderer and start == 0 and not args.no_sphere_init \
+            and not getattr(args, "finetune_dir", None):
         state = trainer.sphere_init(state, jax.random.PRNGKey(args.seed + 1))
 
     ds = open_dataset(args.data, resolution=tcfg.data_img_size)
     it = data_iterator(ds, tcfg.batch, seed=args.seed)
 
+    hooks = None
+    if getattr(args, "fid_data", None):
+        # in-training FID with best-fid checkpointing (train_v10.py:964-1060)
+        from ..models.inception import init_inception, import_torch_inception
+        from .eval_fid import eval_fid as run_fid
+        from ..train.train_loop import TrainHooks
+
+        if args.inception:
+            from ..io.torch_import import load_torch_checkpoint
+
+            incep = import_torch_inception(load_torch_checkpoint(args.inception))
+        else:
+            incep = init_inception(jax.random.PRNGKey(0))
+        fid_ds = open_dataset(args.fid_data, resolution=tcfg.data_img_size)
+        fid_it = data_iterator(fid_ds, 8, seed=1)
+        n_eval = min(len(fid_ds), 512)
+
+        def fid_hook(state):
+            reals = (next(fid_it) for _ in range(max(n_eval // 8, 1)))
+            res = run_fid(trainer.generator, state.params_g_ema, reals,
+                          incep, n_fake=n_eval, batch_size=8)
+            return res.fid
+
+        hooks = TrainHooks(eval_fid=fid_hook)
+
     state = trainer.train(
         state, it, jax.random.PRNGKey(args.seed + 2),
-        start_iter=start, total_iters=args.total_iters,
+        start_iter=start, total_iters=args.total_iters, hooks=hooks,
     )
     trainer.checkpointer().save(
         args.total_iters or tcfg.total_iters, state, config=cfg
