@@ -209,3 +209,22 @@ def test_d_pose_progressive():
     gan, view = d.apply(params, x, alpha=0.3)
     assert gan.shape == (2, 1)
     assert view.shape == (2, 2)
+
+
+def test_d_multiscale():
+    from cips3dpp_tpu.models.discriminator_multi_scale import DiscriminatorMultiScale
+
+    d = DiscriminatorMultiScale(max_size=256, channel_multiplier=1)
+    for size in (64, 128):
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, size, size, 3))
+        params = d.init(jax.random.PRNGKey(1), x, alpha=0.5)
+        out, latent, pos = d.apply(params, x, alpha=0.5)
+        assert out.shape == (4, 1)
+        assert latent is None and pos is None
+    # same params work across input sizes (multi-scale contract)
+    x64 = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    x128 = jax.random.normal(jax.random.PRNGKey(3), (2, 128, 128, 3))
+    p = d.init(jax.random.PRNGKey(4), x128, alpha=1.0)
+    o1, *_ = d.apply(p, x64, alpha=1.0)
+    o2, *_ = d.apply(p, x128, alpha=1.0)
+    assert o1.shape == o2.shape == (2, 1)
