@@ -37,6 +37,8 @@ class Decoder(nn.Module):
     # MXU rate; accumulation stays fp32 (preferred_element_type) and the RGB
     # skip path stays fp32 (see ToRGB), so output quality is preserved.
     dtype: str = "float32"
+    # dtype of the RGB skip accumulation; fp32 default (see ToRGB)
+    skip_dtype: str = "float32"
 
     @property
     def log_in_size(self):
@@ -99,7 +101,8 @@ class Decoder(nn.Module):
             blur_kernel=self.blur_kernel,
             name="conv1",
         )(features, styles[:, 0], noise[0])
-        skip = ToRGB(upsample=False, name="to_rgb1")(out, styles[:, 1], rgbd_in)
+        skip = ToRGB(upsample=False, skip_dtype=self.skip_dtype,
+                     name="to_rgb1")(out, styles[:, 1], rgbd_in)
 
         layer_i = 1  # style index (model_v3.py:612-632)
         noise_i = 1
@@ -121,11 +124,12 @@ class Decoder(nn.Module):
                 blur_kernel=self.blur_kernel,
                 name=f"convs_{2 * block + 1}",
             )(out, styles[:, layer_i + 1], noise[noise_i + 1])
-            skip = ToRGB(upsample=up, name=f"to_rgbs_{block}")(
-                out, styles[:, layer_i + 2], skip
-            )
+            skip = ToRGB(
+                upsample=up, skip_dtype=self.skip_dtype,
+                name=f"to_rgbs_{block}",
+            )(out, styles[:, layer_i + 2], skip)
             layer_i += 2
             noise_i += 2
             block += 1
 
-        return skip
+        return skip.astype(jnp.float32)

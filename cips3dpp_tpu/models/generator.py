@@ -59,6 +59,7 @@ class DecoderConfig:
     mapping_n_layers: int = 5
     mapping_lr_mul: float = 0.01
     dtype: str = "float32"  # conv compute dtype; "bfloat16" for serving
+    skip_dtype: str = "float32"  # RGB skip-chain dtype (see layers.ToRGB)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +117,7 @@ def preset_serving():
     return dataclasses.replace(
         GeneratorConfig(),
         renderer=dataclasses.replace(RendererConfig(), dtype="bfloat16"),
+        # skip chain stays fp32: measured no speedup from bf16 skips
         decoder=dataclasses.replace(DecoderConfig(), dtype="bfloat16"),
     )
 
@@ -175,6 +177,7 @@ class Generator(nn.Module):
             kernel_size=c.decoder.kernel_size,
             upsample_list=tuple(c.decoder.upsample_list),
             dtype=c.decoder.dtype,
+            skip_dtype=c.decoder.skip_dtype,
         )
 
     # ----- mapping networks ------------------------------------------------

@@ -367,22 +367,25 @@ class StyledConv(nn.Module):
 
 class ToRGB(nn.Module):
     """1x1 modulated conv (no demod) to RGB + skip accumulation
-    (model_v3.py:457-482)."""
+    (model_v3.py:457-482).
+
+    skip_dtype: accumulation dtype of the RGB skip chain. fp32 by default
+    (bf16 loses ~0.4% on the summed skips); serving configs may set
+    bfloat16 to halve the high-resolution skip traffic."""
 
     upsample: bool = True
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    skip_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, style, skip=None):
         out = ModulatedConv2d(3, 1, demodulate=False, name="conv")(x, style)
         b = self.param("bias", nn.initializers.zeros, (3,))
-        # RGB skip accumulation in fp32 regardless of conv compute dtype:
-        # the 3-channel maps are cheap and the repeated skip sums would lose
-        # precision in bf16.
-        out = out.astype(jnp.float32) + b
+        dt = jnp.dtype(self.skip_dtype)
+        out = out.astype(dt) + b.astype(dt)
         if skip is not None:
             if self.upsample:
-                skip = upsample2x(skip, self.blur_kernel)
+                skip = upsample2x(skip.astype(dt), self.blur_kernel)
             out = out + skip
         return out
 

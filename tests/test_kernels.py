@@ -88,3 +88,39 @@ def test_fused_packing_shapes(setup):
     assert w[8].shape == (131, 128)  # view layer weight
     assert w[12].shape == (128, 1)  # sdf head
     assert w[14].shape == (128, 3)  # rgb head
+
+
+def test_decoder_block_fused_matches_reference():
+    from cips3dpp_tpu.kernels.decoder_block import (
+        decoder_block_fused,
+        decoder_block_reference,
+    )
+
+    key = jax.random.PRNGKey(0)
+    hp, wp, c = 32, 16, 32
+    ks = jax.random.split(key, 10)
+    y1 = jax.random.normal(ks[0], (hp, wp, c))
+    skip = jax.random.normal(ks[1], (hp, wp, 3))
+    n1 = jax.random.normal(ks[2], (2 * hp, 2 * wp, 1))
+    n2 = jax.random.normal(ks[3], (2 * hp, 2 * wp, 1))
+    w2 = 0.1 * jax.random.normal(ks[4], (c, c))
+    wrgb = 0.1 * jax.random.normal(ks[5], (c, 3))
+    b1 = 0.1 * jax.random.normal(ks[6], (c,))
+    b2 = 0.1 * jax.random.normal(ks[7], (c,))
+    brgb = 0.1 * jax.random.normal(ks[8], (3,))
+    nw1 = jnp.asarray(0.3)
+    nw2 = jnp.asarray(0.2)
+
+    ref_f, ref_rgb = decoder_block_reference(
+        y1, skip, n1, n2, w2, wrgb, b1, b2, brgb, nw1, nw2
+    )
+    fus_f, fus_rgb = decoder_block_fused(
+        y1, skip, n1, n2, w2, wrgb, b1, b2, brgb, nw1, nw2,
+        t_rows=8, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_f), np.asarray(fus_f), atol=2e-3, err_msg="feat"
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_rgb), np.asarray(fus_rgb), atol=2e-3, err_msg="rgb"
+    )
