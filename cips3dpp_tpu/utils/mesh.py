@@ -199,6 +199,34 @@ def save_obj(verts: np.ndarray, faces: np.ndarray, path: str):
     return path
 
 
+def align_volume(volume: np.ndarray, near: float = 0.88, far: float = 1.12):
+    """Warp an axis-aligned sampled volume into the camera frustum
+    (stylesdf/utils.py:172-196): xy coordinates scale from far/near at the
+    near plane to 1 at the far plane, trilinear resampling with border
+    padding; out-of-frustum cells get a positive SDF so marching cubes
+    ignores them."""
+    import jax.scipy.ndimage as jndi
+
+    h, w, d = volume.shape
+    vol = jnp.asarray(volume)
+    # normalized grid coords in [-1, 1]
+    ys = jnp.linspace(-1.0, 1.0, h)
+    xs = jnp.linspace(-1.0, 1.0, w)
+    zs = jnp.linspace(-1.0, 1.0, d)
+    gy, gx, gz = jnp.meshgrid(ys, xs, zs, indexing="ij")
+    coeff = jnp.linspace(far / near, 1.0, d).reshape(1, 1, d)
+    sx = gx * coeff
+    sy = gy * coeff
+    oob = (jnp.abs(sx) > 1.0) | (jnp.abs(sy) > 1.0)
+    # to index space, border clamp
+    iy = jnp.clip((sy + 1.0) * (h - 1) / 2.0, 0, h - 1)
+    ix = jnp.clip((sx + 1.0) * (w - 1) / 2.0, 0, w - 1)
+    iz = jnp.broadcast_to((gz + 1.0) * (d - 1) / 2.0, iy.shape)
+    out = jndi.map_coordinates(vol, [iy, ix, iz], order=1, mode="nearest")
+    out = jnp.where(oob, 1.0, out)
+    return np.asarray(out)
+
+
 # ------------------------------------------------------------ depth mesh --
 
 

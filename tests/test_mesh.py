@@ -81,3 +81,16 @@ def test_extract_shape_from_generator():
     # untrained SDF may or may not cross zero; just require valid structure
     assert verts.ndim == 2 and verts.shape[1] == 3
     assert faces.ndim == 2 and faces.shape[1] == 3
+
+
+def test_align_volume():
+    from cips3dpp_tpu.utils.mesh import align_volume
+
+    vol = np.zeros((16, 16, 8), np.float32)
+    vol[8, 8, :] = -1.0  # a line of negative sdf along depth
+    out = align_volume(vol)
+    assert out.shape == vol.shape
+    # center is inside the frustum at every depth
+    assert out[8, 8].max() < 0.5
+    # corners at the near plane fall outside the frustum -> forced positive
+    assert out[0, 0, 0] == 1.0
