@@ -118,10 +118,10 @@ def translate_rotate_trajectory(
 # -------------------------------------------------------------- rendering --
 
 
-def make_frame_renderer(model, params, *, truncation=1.0, mean_latents=None,
-                        ray_chunk=None):
+def make_frame_renderer(model, params, *, ray_chunk=None, fused=False):
     """One jitted frame fn shared by every trajectory app: styles are
-    precomputed once (w-space), camera varies per frame."""
+    precomputed once (w-space; truncation applied there), camera varies per
+    frame. fused=True uses the Pallas SIREN kernel (serving)."""
 
     @jax.jit
     def frame(style_render, style_decoder, extrinsics, focal, near, far, noise_bufs):
@@ -136,6 +136,7 @@ def make_frame_renderer(model, params, *, truncation=1.0, mean_latents=None,
             noise_bufs=noise_bufs,
             perturb=False,
             ray_chunk=ray_chunk,
+            fused_renderer=fused,
         )
         return out["rgb"], out["thumb_rgb"], out["depth"], out["xyz"]
 
@@ -159,6 +160,7 @@ def render_trajectory(
     noise_bufs=None,
     zero_noise: bool = False,
     ray_chunk=None,
+    fused: bool = False,
 ):
     """Render every frame of a camera trajectory with fixed latents
     (_sample_multi_view_web hot loop, render_video_web_v10.py:1806-1824).
@@ -174,7 +176,7 @@ def render_trajectory(
     if zero_noise:
         noise_bufs = [jnp.zeros_like(b) for b in noise_bufs]
 
-    frame = make_frame_renderer(model, params, ray_chunk=ray_chunk)
+    frame = make_frame_renderer(model, params, ray_chunk=ray_chunk, fused=fused)
     outs = {"rgb": [], "thumb_rgb": [], "depth": [], "xyz": []}
     n = cams.extrinsics.shape[0]
     for i in range(n):

@@ -63,6 +63,11 @@ class TrainConfig:
     sdf_reg: bool = True
     init_renderer: bool = True
     init_iters: int = 10_000
+    # rematerialise discriminator activations (memory for FLOPs): needed to
+    # fit the fused r1024 step (G fwd + both Ds + R1 grad-of-grad) in one
+    # chip's HBM at batch >= 4 — the reference splits into chunk loops
+    # instead (train_v10.py:173)
+    remat_d: bool = False
 
 
 def _g_label_tree(params):

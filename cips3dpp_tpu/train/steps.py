@@ -114,6 +114,11 @@ def make_train_steps(
         real_thumb = downsample_to(real_imgs, fake_thumb.shape[1])
 
         def loss_fn(params_d, params_dr):
+            dd_apply = (
+                jax.checkpoint(lambda p, x: d_decoder.apply(p, x, alpha=alpha))
+                if cfg.remat_d
+                else (lambda p, x: d_decoder.apply(p, x, alpha=alpha))
+            )
             # pose D (update_D_render :58-102): R1 every step
             fake_pred_r, fake_view = d_render.apply(params_dr, fake_thumb, alpha=alpha)
             real_pred_r, _ = d_render.apply(params_dr, real_thumb, alpha=alpha)
@@ -130,8 +135,8 @@ def make_train_steps(
             # image D (update_D_decoder :104-134): lazy R1. Skipped entirely
             # in decoder-less (StyleSDF stage-1) mode (train_v10.py:226).
             if gen_cfg.enable_decoder:
-                fake_pred = d_decoder.apply(params_d, fake_rgb, alpha=alpha)
-                real_pred = d_decoder.apply(params_d, real_imgs, alpha=alpha)
+                fake_pred = dd_apply(params_d, fake_rgb)
+                real_pred = dd_apply(params_d, real_imgs)
                 d_gan = d_logistic_loss(real_pred, fake_pred)
                 if d_regularize:
                     r1_d = (
@@ -139,8 +144,7 @@ def make_train_steps(
                         * 0.5
                         * cfg.d_reg_every
                         * r1_penalty(
-                            lambda x: d_decoder.apply(params_d, x, alpha=alpha),
-                            real_imgs,
+                            lambda x: dd_apply(params_d, x), real_imgs
                         )
                     )
                 else:
@@ -219,7 +223,14 @@ def make_train_steps(
                 else 0.0
             )
             if gen_cfg.enable_decoder:
-                fake_pred = d_decoder.apply(state.params_d, ret["rgb"], alpha=alpha)
+                dd = (
+                    jax.checkpoint(
+                        lambda p, x: d_decoder.apply(p, x, alpha=alpha)
+                    )
+                    if cfg.remat_d
+                    else (lambda p, x: d_decoder.apply(p, x, alpha=alpha))
+                )
+                fake_pred = dd(state.params_d, ret["rgb"])
                 g_gan = g_nonsaturating_loss(fake_pred)
             else:
                 g_gan = 0.0
