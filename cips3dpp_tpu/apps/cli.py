@@ -108,6 +108,8 @@ def cmd_sample_multi_view(argv):
     p.add_argument("--fps", type=int, default=12)
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--zero-noise", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="Pallas fused SIREN renderer (flagship geometry)")
     args = p.parse_args(argv)
     cfg = _load_cfg(args)
 
@@ -143,7 +145,7 @@ def cmd_sample_multi_view(argv):
     cams = traj_fns[args.view_mode]()
     out = render_trajectory(
         model, params, zs, cams, truncation=args.truncation,
-        mean_latents=means, zero_noise=args.zero_noise,
+        mean_latents=means, zero_noise=args.zero_noise, fused=args.fused,
     )
     os.makedirs(args.outdir, exist_ok=True)
     vp = save_video(out["rgb"], f"{args.outdir}/video.mp4", fps=args.fps)

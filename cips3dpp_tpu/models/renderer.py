@@ -72,7 +72,13 @@ class VolumeFeatureRenderer(nn.Module):
         fused=True routes through the Pallas SIREN+integration kernel
         (kernels/siren_render.py) — inference-only (no eikonal), depth-2
         flagship geometry, applied per batch item via vmap."""
-        if fused and self.depth == 2 and not return_eikonal and self.with_sdf:
+        if (
+            fused
+            and self.depth == 2
+            and not return_eikonal
+            and self.with_sdf
+            and jax.default_backend() == "tpu"  # Pallas TPU kernel only
+        ):
             from ..kernels.siren_render import siren_render_fused
 
             rp = self.variables["params"]
