@@ -289,6 +289,38 @@ def siren_render_fused(
     return thumb, feat, sdf[..., None], maskd, xyz
 
 
+@jax.custom_vjp
+def siren_render(renderer_params, styles, pts, viewdirs, z_vals, rays_d,
+                 near, far):
+    """Differentiable fused render: Pallas-fast forward, XLA backward.
+
+    The kernel itself has no hand-written VJP; the backward pass replays the
+    jnp reference under jax.vjp — gradients are exact for the reference
+    semantics while the (more frequent) forward runs at kernel speed. Used
+    by inversion; full training keeps the XLA path (eikonal needs the pts
+    vjp inside the forward)."""
+    return siren_render_fused(
+        renderer_params, styles, pts, viewdirs, z_vals, rays_d, near, far
+    )
+
+
+def _siren_render_fwd(renderer_params, styles, pts, viewdirs, z_vals, rays_d,
+                      near, far):
+    out = siren_render_fused(
+        renderer_params, styles, pts, viewdirs, z_vals, rays_d, near, far
+    )
+    return out, (renderer_params, styles, pts, viewdirs, z_vals, rays_d,
+                 near, far)
+
+
+def _siren_render_bwd(res, cotangents):
+    _, vjp = jax.vjp(siren_render_reference, *res)
+    return vjp(cotangents)
+
+
+siren_render.defvjp(_siren_render_fwd, _siren_render_bwd)
+
+
 def siren_render_reference(
     renderer_params, styles, pts, viewdirs, z_vals, rays_d, near, far,
     matmul_dtype=jnp.bfloat16,

@@ -124,3 +124,49 @@ def test_decoder_block_fused_matches_reference():
     np.testing.assert_allclose(
         np.asarray(ref_rgb), np.asarray(fus_rgb), atol=2e-3, err_msg="rgb"
     )
+
+
+def test_siren_render_custom_vjp(setup):
+    """Fused forward + XLA backward: grads flow to styles and params and
+    match pure-reference grads."""
+    from cips3dpp_tpu.kernels.siren_render import (
+        siren_render,
+        siren_render_reference,
+    )
+
+    params, styles, pts, viewdirs, z_vals, rays_d, near, far = setup
+
+    def loss_fused(styles, params):
+        out = siren_render(params, styles, pts, viewdirs, z_vals, rays_d,
+                           near, far)
+        return jnp.mean(jnp.square(out[0])) + jnp.mean(out[1])
+
+    def loss_ref(styles, params):
+        out = siren_render_reference(params, styles, pts, viewdirs, z_vals,
+                                     rays_d, near, far)
+        return jnp.mean(jnp.square(out[0])) + jnp.mean(out[1])
+
+    # interpret-mode pallas inside grad on CPU: wrap fused fwd in interpret
+    import cips3dpp_tpu.kernels.siren_render as K
+    import functools
+
+    orig = K.siren_render_fused
+    K.siren_render_fused = functools.partial(orig, ray_tile=128, interpret=True)
+    try:
+        g_fused = jax.grad(loss_fused, argnums=(0, 1))(styles, params)
+    finally:
+        K.siren_render_fused = orig
+    g_ref = jax.grad(loss_ref, argnums=(0, 1))(styles, params)
+
+    # grads agree up to the forward-value delta (the loss cotangent is
+    # computed from the kernel's output; backward replays the reference)
+    np.testing.assert_allclose(
+        np.asarray(g_fused[0]), np.asarray(g_ref[0]), atol=3e-2
+    )
+    leaves_f = jax.tree.leaves(g_fused[1])
+    leaves_r = jax.tree.leaves(g_ref[1])
+    for a, b in zip(leaves_f, leaves_r):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all()
+        denom = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.1
