@@ -172,3 +172,25 @@ def test_prepare_nerf_inputs_shapes():
     # 1 -/+ 0.12 and ~6deg fov: all sample points cluster near the origin.
     d = np.linalg.norm(np.asarray(pts), axis=-1)
     assert d.max() < 0.5
+
+
+def test_sweep_cameras():
+    """8-view azimuth sweep with shared random elevation per batch item
+    (nerf_utils.py:379-392)."""
+    from cips3dpp_tpu.core.camera import sweep_cameras
+
+    cam = sweep_cameras(jax.random.PRNGKey(0), batch=2, img_size=64)
+    assert cam.extrinsics.shape == (16, 3, 4)
+    az = np.asarray(cam.viewpoint[:, 0]).reshape(2, 8)
+    np.testing.assert_allclose(az[0], az[1], atol=1e-6)  # same sweep per item
+    np.testing.assert_allclose(az[0, 0], -0.3, atol=1e-6)
+    np.testing.assert_allclose(az[0, -1], 0.3, atol=1e-6)
+    el = np.asarray(cam.viewpoint[:, 1]).reshape(2, 8)
+    assert np.allclose(el[0], el[0, 0])  # shared elev within an item
+    assert not np.allclose(el[0, 0], el[1, 0])  # random across items
+    # list-range variant
+    cam2 = sweep_cameras(jax.random.PRNGKey(1), 1, 64,
+                         azim_range=[0.0, 0.7], elev_range=[0.1, 0.2])
+    az2 = np.asarray(cam2.viewpoint[:, 0])
+    np.testing.assert_allclose(az2[0], 0.0, atol=1e-6)
+    np.testing.assert_allclose(az2[-1], 0.7, atol=1e-6)
