@@ -366,6 +366,55 @@ def cmd_render_inverted(argv):
     print(json.dumps({"video": vp, "grid": gp}))
 
 
+def cmd_extract_shape(argv):
+    """Marching-cubes shape export + image render per seed (reference
+    generate_shapes_and_images.py)."""
+    p = _base_parser("SDF iso-surface .obj export")
+    p.add_argument("--n-shapes", type=int, default=1)
+    p.add_argument("--resolution", type=int, default=128)
+    p.add_argument("--truncation", type=float, default=0.7)
+    p.add_argument("--frustum-align", action="store_true")
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    from ..core.camera import camera_from_angles
+    from ..utils.mesh import (
+        sample_sdf_grid, marching_tetrahedra, save_obj, align_volume,
+    )
+    from .sample import render_trajectory, save_image_grid
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    means = model.apply(params, jax.random.PRNGKey(2), 10_000,
+                        method="mean_latents")
+    cam = camera_from_angles(jnp.zeros(1), jnp.zeros(1), gcfg.img_size,
+                             fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius)
+    os.makedirs(args.outdir, exist_ok=True)
+    results = []
+    for i in range(args.n_shapes):
+        key = jax.random.fold_in(jax.random.PRNGKey(args.seed), i)
+        k1, k2 = jax.random.split(key)
+        zs = (jax.random.normal(k1, (1, gcfg.mapping.z_dim)),
+              jax.random.normal(k2, (1, gcfg.mapping.z_dim)))
+        sr, _ = model.apply(params, zs, args.truncation, means,
+                            method="map_zs")
+        vol, lin = sample_sdf_grid(model, params, sr,
+                                   resolution=args.resolution)
+        if args.frustum_align:
+            vol = align_volume(vol)
+        verts, faces = marching_tetrahedra(vol, 0.0, coords=[lin, lin, lin])
+        obj = save_obj(verts, faces, f"{args.outdir}/shape_{i}.obj")
+        out = render_trajectory(model, params, zs, cam,
+                                truncation=args.truncation,
+                                mean_latents=means, zero_noise=True)
+        img = save_image_grid(out["rgb"], f"{args.outdir}/shape_{i}.png",
+                              n_cols=1)
+        results.append({"obj": obj, "img": img, "n_verts": int(len(verts))})
+    print(json.dumps(results))
+
+
 def cmd_eval_fid(argv):
     p = _base_parser("FID/KID evaluation")
     p.add_argument("--data", type=str, required=True)
@@ -508,6 +557,7 @@ COMMANDS = {
     "invert": cmd_invert,
     "render-inverted": cmd_render_inverted,
     "eval-fid": cmd_eval_fid,
+    "extract-shape": cmd_extract_shape,
     "prepare-data": cmd_prepare_data,
     "rendering-time": cmd_rendering_time,
     "import-torch": cmd_import_torch,

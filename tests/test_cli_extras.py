@@ -65,3 +65,18 @@ inv:
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists(res["grid"])
+
+
+def test_cli_extract_shape(tmp_path, capsys):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("s: {G_cfg: {}}\n")
+    rc = main([
+        "extract-shape", "--cfg", str(cfg), "--section", "s",
+        "--opts", *TINY_OPTS,
+        "--outdir", str(tmp_path / "shapes"), "--resolution", "16",
+        "--n-shapes", "1", "--truncation", "1.0",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(res[0]["obj"])
+    assert os.path.exists(res[0]["img"])
