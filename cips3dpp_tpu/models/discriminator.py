@@ -132,11 +132,13 @@ class DStyleGANProgressive(nn.Module):
             alpha = 1.0
             log_pretrained = log_input_size
 
-        # Build every per-resolution module (params must not depend on input
-        # resolution), but only apply the ones on this input's path.
+        # Build every per-resolution module up to input_size (params must not
+        # depend on the input's resolution, but an r512 model should not carry
+        # dead 1024^2 blocks), and only apply the ones on this input's path.
+        log_max = int(math.log2(self.input_size))
         blocks = {}
         conv_ins = {}
-        for ls in range(10, 2, -1):
+        for ls in range(log_max, 2, -1):
             res = 2**ls
             conv_ins[ls] = ConvLayer(channels[res], 1, name=f"conv_in_{res}")
             blocks[ls] = ResBlock(
@@ -146,7 +148,7 @@ class DStyleGANProgressive(nn.Module):
         # Instantiate every module's params regardless of this trace's path
         # (flax creates params lazily on call; the reference state dict always
         # holds all resolutions). XLA DCEs the dummy applications.
-        for ls in range(10, 2, -1):
+        for ls in range(log_max, 2, -1):
             res = 2**ls
             _ = conv_ins[ls](jnp.zeros((1, 4, 4, 3), x.dtype))
             _ = blocks[ls](jnp.zeros((1, 8, 8, channels[res]), x.dtype))

@@ -40,15 +40,6 @@ def kaiming_normal_leaky(a: float = 0.2, mul: float = 1.0):
     return init
 
 
-def uniform_fan_in(mul: float = 1.0):
-    """U(-sqrt(1/fan_in), sqrt(1/fan_in)) — torch Linear/Conv bias default."""
-
-    def init(key, shape, dtype=jnp.float32, fan_in=None):
-        raise NotImplementedError  # use uniform_bound with explicit fan_in
-
-    return init
-
-
 def uniform_bound(bound: float):
     def init(key, shape, dtype=jnp.float32):
         return jax.random.uniform(key, shape, dtype, -bound, bound)

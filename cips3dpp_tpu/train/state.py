@@ -54,10 +54,15 @@ class TrainConfig:
     min_surf_beta: float = 100.0
     path_regularize: float = 2.0
     path_batch_shrink: int = 2
-    # sizes
+    # sizes. Pixel sub-sampling / patch training activates when
+    # gen_img_size < cam_img_size (train_v10.py:177-199): the generator
+    # renders a gen_img_size ray subset of the cam_img_size grid and the Ds
+    # see matched gathered real pixels. sample_mode: 'default' = sorted
+    # random subset, 'patch' = contiguous window (yaml sample_mode key).
     cam_img_size: int = 64
     gen_img_size: int = 1024
     data_img_size: int = 1024
+    sample_mode: str = "default"
     # toggles
     eikonal_reg: bool = True
     sdf_reg: bool = True
@@ -68,6 +73,13 @@ class TrainConfig:
     # chip's HBM at batch >= 4 — the reference splits into chunk loops
     # instead (train_v10.py:173)
     remat_d: bool = False
+    # Pallas fused SIREN renderer for the D step's G forward (stop-gradient,
+    # no eikonal -> kernel-eligible); auto-inert off-TPU / non-flagship
+    # geometry (models/renderer.py gating)
+    fused_renderer_d: bool = True
+    # compute dtype for both discriminators ("bfloat16" halves D HBM traffic;
+    # logits/losses stay fp32 at the heads)
+    d_dtype: str = "float32"
 
 
 def _g_label_tree(params):

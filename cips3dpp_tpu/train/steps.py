@@ -47,6 +47,49 @@ def downsample_to(imgs, size: int):
     return jax.image.resize(imgs, (b, size, size, c), method="lanczos3")
 
 
+def sample_pixel_idx(key, batch, cam_size: int, gen_size: int, mode: str):
+    """Per-sample ray-subset indices for pixel sub-sampling / patch training
+    (train_v10.py:177-199; tl2 get_gather_sample_idx[_patch] semantics).
+
+    mode='patch'  -> contiguous window: random offset + arange(gen_size)
+    mode='default'-> sorted random subset without replacement
+
+    Returns (idx_h, idx_w), each (batch, gen_size) int32.
+    """
+    kh, kw = jax.random.split(key)
+
+    def one_axis(k):
+        if mode == "patch":
+            off = jax.random.randint(k, (batch, 1), 0, cam_size - gen_size + 1)
+            return off + jnp.arange(gen_size, dtype=jnp.int32)[None]
+        # sorted subset w/o replacement: first gen_size of a random argsort
+        r = jax.random.uniform(k, (batch, cam_size))
+        return jnp.sort(jnp.argsort(r, axis=1)[:, :gen_size], axis=1).astype(
+            jnp.int32
+        )
+
+    return one_axis(kh), one_axis(kw)
+
+
+def gather_image_pixels(imgs, idx_h, idx_w, factor: int = 1):
+    """Gather real pixels matching a generator ray subset (tl2
+    sample_image_sub_pixels / sample_image_patch semantics): ray index i on the
+    cam grid owns the `factor`-pixel block [i*factor, (i+1)*factor) of the
+    full-resolution image, so fake rgb (gen*factor)^2 and gathered real align
+    pixel-for-pixel. imgs: (B, cam*f, cam*f, C) -> (B, gen*f, gen*f, C)."""
+    b = imgs.shape[0]
+
+    def expand(idx):
+        # (B, gen) -> (B, gen*f) pixel indices
+        px = idx[..., None] * factor + jnp.arange(factor, dtype=idx.dtype)
+        return px.reshape(b, -1)
+
+    ph, pw = expand(idx_h), expand(idx_w)
+    out = jnp.take_along_axis(imgs, ph[:, :, None, None], axis=1)
+    out = jnp.take_along_axis(out, pw[:, None, :, None], axis=2)
+    return out
+
+
 def _sample_inputs(key, batch, gen_cfg, mesh=None):
     """Random z pair + camera batch (train_v10.py:160-171). Under a mesh the
     batch axis is sharding-constrained so the generator runs data-parallel
@@ -81,7 +124,36 @@ def make_train_steps(
     data-parallel (batch sharded over the 'data' axis, params replicated)."""
     tx_g, tx_d, tx_dr = txs
 
-    def g_forward(params_g, zs, cam, rng, eikonal_reg, renderer_detach, path_reg=False):
+    # Pixel sub-sampling / patch training (train_v10.py:156-199, 339-353):
+    # active when gen_img_size < cam_img_size. The up-factor ties a cam-grid
+    # ray to its block of output pixels.
+    sub_pixels = gen_cfg.enable_decoder and cfg.gen_img_size < cfg.cam_img_size
+    if sub_pixels:
+        assert cfg.cam_img_size == gen_cfg.img_size, (
+            "patch training expects the camera grid (cam_img_size) to be the "
+            "generator's NeRF resolution"
+        )
+    up_factor = 2 ** len(gen_cfg.decoder.upsample_list)
+
+    # DiffAugment (discriminator.py:200-208) draws randomness inside the D
+    # forward; flax surfaces that as a 'diffaug' rng that every apply of an
+    # augmenting D must receive.
+    dd_diffaug = bool(getattr(d_decoder, "diffaug", False))
+
+    # Optional bf16 image-D compute: every layer follows its input dtype, so
+    # one cast at entry halves the D's HBM traffic at 1024^2; the logit is
+    # cast back so losses/R1 accumulate fp32.
+    d_dt = jnp.dtype(cfg.d_dtype)
+
+    def dd_apply(params_d, x, alpha, key):
+        rngs = {"diffaug": key} if dd_diffaug else None
+        out = d_decoder.apply(params_d, x.astype(d_dt), alpha=alpha, rngs=rngs)
+        return out.astype(jnp.float32)
+
+    def g_forward(
+        params_g, zs, cam, rng, eikonal_reg, renderer_detach,
+        path_reg=False, sample_idx=None, fused=False,
+    ):
         k1, k2 = jax.random.split(rng)
         return generator.apply(
             params_g,
@@ -93,7 +165,16 @@ def make_train_steps(
             eikonal_reg=eikonal_reg,
             renderer_detach=renderer_detach,
             path_reg=path_reg,
+            sample_idx=sample_idx,
+            fused_renderer=fused,
             rngs={"perturb": k1, "noise": k2},
+        )
+
+    def _maybe_sample_idx(key, batch):
+        if not sub_pixels:
+            return None
+        return sample_pixel_idx(
+            key, batch, cfg.cam_img_size, cfg.gen_img_size, cfg.sample_mode
         )
 
     # ------------------------------------------------------------------ D --
@@ -103,21 +184,28 @@ def make_train_steps(
     def d_step(state: TrainState, real_imgs, rng, alpha, d_regularize: bool):
         """update_D (train_v10.py:136-241): one fused D-render + D-decoder
         update on fakes from the current G."""
-        k_in, k_g = jax.random.split(rng)
+        k_in, k_g, k_idx, k_a1, k_a2, k_a3 = jax.random.split(rng, 6)
         zs, cam = _sample_inputs(k_in, real_imgs.shape[0], gen_cfg, mesh)
+        sample_idx = _maybe_sample_idx(k_idx, real_imgs.shape[0])
 
         ret = g_forward(
-            state.params_g, zs, cam, k_g, eikonal_reg=False, renderer_detach=None
+            state.params_g, zs, cam, k_g, eikonal_reg=False,
+            renderer_detach=None, sample_idx=sample_idx,
+            fused=cfg.fused_renderer_d,
         )
         fake_rgb = jax.lax.stop_gradient(ret["rgb"])
         fake_thumb = jax.lax.stop_gradient(ret["thumb_rgb"])
+        if sample_idx is not None:
+            # gathered real pixels matched to the fake's ray subset
+            # (train_v10.py:177-199)
+            real_imgs = gather_image_pixels(real_imgs, *sample_idx, up_factor)
         real_thumb = downsample_to(real_imgs, fake_thumb.shape[1])
 
         def loss_fn(params_d, params_dr):
-            dd_apply = (
-                jax.checkpoint(lambda p, x: d_decoder.apply(p, x, alpha=alpha))
+            dd = (
+                jax.checkpoint(lambda p, x, k: dd_apply(p, x, alpha, k))
                 if cfg.remat_d
-                else (lambda p, x: d_decoder.apply(p, x, alpha=alpha))
+                else (lambda p, x, k: dd_apply(p, x, alpha, k))
             )
             # pose D (update_D_render :58-102): R1 every step
             fake_pred_r, fake_view = d_render.apply(params_dr, fake_thumb, alpha=alpha)
@@ -135,8 +223,8 @@ def make_train_steps(
             # image D (update_D_decoder :104-134): lazy R1. Skipped entirely
             # in decoder-less (StyleSDF stage-1) mode (train_v10.py:226).
             if gen_cfg.enable_decoder:
-                fake_pred = dd_apply(params_d, fake_rgb)
-                real_pred = dd_apply(params_d, real_imgs)
+                fake_pred = dd(params_d, fake_rgb, k_a1)
+                real_pred = dd(params_d, real_imgs, k_a2)
                 d_gan = d_logistic_loss(real_pred, fake_pred)
                 if d_regularize:
                     r1_d = (
@@ -144,7 +232,7 @@ def make_train_steps(
                         * 0.5
                         * cfg.d_reg_every
                         * r1_penalty(
-                            lambda x: dd_apply(params_d, x), real_imgs
+                            lambda x: dd(params_d, x, k_a3), real_imgs
                         )
                     )
                 else:
@@ -190,8 +278,9 @@ def make_train_steps(
     def g_step(state: TrainState, rng, alpha, renderer_detach: bool | None = None):
         """update_G main pass (train_v10.py:303-405): GAN + pose + eikonal +
         minimal-surface on the thumbnail path, GAN on the decoder path."""
-        k_in, k_g = jax.random.split(rng)
+        k_in, k_g, k_idx, k_a = jax.random.split(rng, 4)
         zs, cam = _sample_inputs(k_in, cfg.batch, gen_cfg, mesh)
+        sample_idx = _maybe_sample_idx(k_idx, cfg.batch)
 
         def loss_fn(params_g):
             ret = g_forward(
@@ -201,6 +290,7 @@ def make_train_steps(
                 k_g,
                 eikonal_reg=cfg.eikonal_reg,
                 renderer_detach=renderer_detach,
+                sample_idx=sample_idx,
             )
             fake_pred_r, fake_view = d_render.apply(
                 state.params_d_render, ret["thumb_rgb"], alpha=alpha
@@ -224,13 +314,11 @@ def make_train_steps(
             )
             if gen_cfg.enable_decoder:
                 dd = (
-                    jax.checkpoint(
-                        lambda p, x: d_decoder.apply(p, x, alpha=alpha)
-                    )
+                    jax.checkpoint(lambda p, x, k: dd_apply(p, x, alpha, k))
                     if cfg.remat_d
-                    else (lambda p, x: d_decoder.apply(p, x, alpha=alpha))
+                    else (lambda p, x, k: dd_apply(p, x, alpha, k))
                 )
-                fake_pred = dd(state.params_d, ret["rgb"])
+                fake_pred = dd(state.params_d, ret["rgb"], k_a)
                 g_gan = g_nonsaturating_loss(fake_pred)
             else:
                 g_gan = 0.0

@@ -166,3 +166,165 @@ def test_data_parallel_d_step_on_mesh():
     # updated params remain replicated
     leaf = jax.tree.leaves(state2.params_d)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_sample_pixel_idx_modes():
+    from cips3dpp_tpu.train.steps import sample_pixel_idx
+
+    idx_h, idx_w = sample_pixel_idx(jax.random.PRNGKey(0), 4, 16, 6, "patch")
+    assert idx_h.shape == (4, 6) and idx_w.shape == (4, 6)
+    # contiguous window
+    np.testing.assert_array_equal(
+        np.diff(np.asarray(idx_h), axis=1), np.ones((4, 5), np.int32)
+    )
+    assert int(idx_h.max()) <= 15 and int(idx_h.min()) >= 0
+
+    idx_h, idx_w = sample_pixel_idx(jax.random.PRNGKey(1), 4, 16, 6, "default")
+    a = np.asarray(idx_h)
+    # sorted, unique (without replacement), in range
+    assert (np.diff(a, axis=1) >= 1).all()
+    assert a.min() >= 0 and a.max() <= 15
+
+
+def test_gather_image_pixels_blocks():
+    from cips3dpp_tpu.train.steps import gather_image_pixels
+
+    # encode (h, w) into the pixel value; factor-2 blocks
+    h = w = 8
+    img = (
+        jnp.arange(h)[None, :, None, None] * 100.0
+        + jnp.arange(w)[None, None, :, None]
+    ) * jnp.ones((1, 1, 1, 1))
+    idx_h = jnp.array([[1, 3]])
+    idx_w = jnp.array([[0, 2]])
+    out = gather_image_pixels(img, idx_h, idx_w, factor=2)
+    # ray (1,0) owns pixel rows 2-3, cols 0-1
+    expect_rows = np.array([2, 3, 6, 7])
+    expect_cols = np.array([0, 1, 4, 5])
+    np.testing.assert_array_equal(
+        np.asarray(out[0, :, :, 0]),
+        expect_rows[:, None] * 100.0 + expect_cols[None, :],
+    )
+
+
+def test_generator_sample_idx_matches_full_gather():
+    """Fake-side alignment: rendering a ray subset == gathering the full
+    render at those indices (model_v3.py:1061-1097 semantics)."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(), n_samples=4)
+    gen = Generator(gen_cfg)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=8)
+    zs = (
+        jax.random.normal(jax.random.PRNGKey(2), (2, 256)),
+        jax.random.normal(jax.random.PRNGKey(3), (2, 256)),
+    )
+    kwargs = dict(
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far, perturb=False,
+    )
+    params = gen.init({"params": key, "noise": key}, **kwargs)
+    full = gen.apply(params, rngs={"noise": key}, **kwargs)
+    idx_h = jnp.tile(jnp.array([[0, 2, 5, 7]]), (2, 1))
+    idx_w = jnp.tile(jnp.array([[1, 3, 4, 6]]), (2, 1))
+    sub = gen.apply(
+        params, sample_idx=(idx_h, idx_w), rngs={"noise": key}, **kwargs
+    )
+    gathered = np.asarray(full["thumb_rgb"])[:, idx_h[0]][:, :, idx_w[0]]
+    np.testing.assert_allclose(
+        np.asarray(sub["thumb_rgb"]), gathered, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_patch_training_steps_run():
+    """d_step/g_step with gen_img_size < cam_img_size: the D sees
+    gen_img_size*factor fakes and matched gathered real pixels
+    (train_v10.py:177-199, 339-353)."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    train_cfg = TrainConfig(
+        batch=4, cam_img_size=8, gen_img_size=4, data_img_size=16,
+        sample_mode="patch",
+    )
+    gen = Generator(gen_cfg)
+    d_dec = DStyleGANProgressive(input_size=1024, channel_multiplier=1)
+    # 4^2 thumbs have no 2^2 fade block; a real patch config disables fade
+    d_ren = DVolumeRenderProgressive(input_size=64, pretrained_size=-1)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=8)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    g_init = lambda k: gen.init(
+        {"params": k, "perturb": k, "noise": k},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    # D params init at the PATCH resolution it will see (8 = 4 * factor 2)
+    d_init = lambda k: d_dec.init(k, jnp.zeros((2, 8, 8, 3)))
+    dr_init = lambda k: d_ren.init(k, jnp.zeros((2, 4, 4, 3)))
+    state, txs = create_train_state(key, gen_cfg, train_cfg, d_init, dr_init, g_init)
+    d_step, g_step, _, _ = make_train_steps(gen, d_dec, d_ren, gen_cfg, train_cfg, txs)
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 16, 3)) * 0.1
+    state, dm = d_step(state, real, jax.random.PRNGKey(3), 1.0, d_regularize=True)
+    assert np.isfinite(float(dm["d_loss_total"]))
+    state, gm = g_step(state, jax.random.PRNGKey(4), 1.0)
+    assert np.isfinite(float(gm["g_loss_total"]))
+
+
+def test_diffaug_d_and_g_steps_run():
+    """diffaug=True requires the 'diffaug' rng through every D apply
+    (discriminator.py:200-208); round-1 wiring crashed at trace time."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    train_cfg = TrainConfig(batch=4, gen_img_size=16, cam_img_size=8)
+    gen = Generator(gen_cfg)
+    d_dec = DStyleGANProgressive(input_size=1024, channel_multiplier=1, diffaug=True)
+    d_ren = DVolumeRenderProgressive(input_size=64)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=8)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    g_init = lambda k: gen.init(
+        {"params": k, "perturb": k, "noise": k},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    d_init = lambda k: d_dec.init(
+        {"params": k, "diffaug": k}, jnp.zeros((2, 16, 16, 3))
+    )
+    dr_init = lambda k: d_ren.init(k, jnp.zeros((2, 8, 8, 3)))
+    state, txs = create_train_state(key, gen_cfg, train_cfg, d_init, dr_init, g_init)
+    d_step, g_step, _, _ = make_train_steps(gen, d_dec, d_ren, gen_cfg, train_cfg, txs)
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 16, 3)) * 0.1
+    state, dm = d_step(state, real, jax.random.PRNGKey(3), 1.0, d_regularize=True)
+    assert np.isfinite(float(dm["d_loss_total"]))
+    state, gm = g_step(state, jax.random.PRNGKey(4), 1.0)
+    assert np.isfinite(float(gm["g_loss_total"]))
+
+
+def test_bf16_discriminator_steps_run():
+    """d_dtype='bfloat16' (HBM-halving image D): steps run, losses finite,
+    R1 still positive through the bf16 net."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    train_cfg = TrainConfig(
+        batch=4, gen_img_size=16, cam_img_size=8, d_dtype="bfloat16"
+    )
+    gen = Generator(gen_cfg)
+    d_dec = DStyleGANProgressive(input_size=1024, channel_multiplier=1)
+    d_ren = DVolumeRenderProgressive(input_size=64)
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=8)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    g_init = lambda k: gen.init(
+        {"params": k, "perturb": k, "noise": k},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    d_init = lambda k: d_dec.init(k, jnp.zeros((2, 16, 16, 3)))
+    dr_init = lambda k: d_ren.init(k, jnp.zeros((2, 8, 8, 3)))
+    state, txs = create_train_state(key, gen_cfg, train_cfg, d_init, dr_init, g_init)
+    d_step, g_step, _, _ = make_train_steps(gen, d_dec, d_ren, gen_cfg, train_cfg, txs)
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, 16, 16, 3)) * 0.1
+    state, dm = d_step(state, real, jax.random.PRNGKey(3), 1.0, d_regularize=True)
+    assert np.isfinite(float(dm["d_loss_total"]))
+    assert float(dm["d_loss_gp_decoder"]) > 0
+    state, gm = g_step(state, jax.random.PRNGKey(4), 1.0)
+    assert np.isfinite(float(gm["g_loss_total"]))
