@@ -55,11 +55,18 @@ class InversionConfig:
     optim_noise_bufs: bool = True
     optim_decoder_params: bool = True
     w_avg_samples: int = 10_000
+    # camera parameterisation: "angles" = (azim, elev) look-at
+    # (projector_v10.py:211-277); "axis_angle" = free (rot (B,3) axis-angle,
+    # trans (B,3) projected to the unit sphere) like projector_axis_angle.py
+    # :191-278 — more DoF for profile/extreme poses.
+    cam_param: str = "angles"
 
 
 class InversionState(struct.PyTreeNode):
-    azim: jnp.ndarray  # (2, 1)
-    elev: jnp.ndarray  # (2, 1)
+    # camera parameters; with cam_param="angles": azim/elev (2, 1);
+    # with "axis_angle": azim holds rot (2, 3), elev holds trans (2, 3)
+    azim: jnp.ndarray
+    elev: jnp.ndarray
     w_render: jnp.ndarray  # (1, n_render_layers+1, 256)
     w_decoder: jnp.ndarray  # (1, n_latent, 512)
     decoder_params: Any  # decoder submodule params
@@ -113,12 +120,21 @@ class Projector:
     an un-flipped single target (base StyleGAN2Projector:79-821)."""
 
     def __init__(self, model, params, vgg_variables, cfg: InversionConfig,
-                 cam_cfg=None):
+                 cam_cfg=None, lpips_variables=None, fused: bool | None = None):
         self.model = model
         self.params = params
         self.vgg = vgg_variables
+        self.lpips_variables = lpips_variables  # None -> random-weight LPIPS
         self.cfg = cfg
         self.gcfg = model.cfg
+        # Pallas fused SIREN forward (exact-XLA backward via custom_vjp);
+        # auto-on for the flagship depth-2 geometry on TPU.
+        if fused is None:
+            fused = (
+                model.cfg.renderer.n_layers == 2
+                and jax.default_backend() == "tpu"
+            )
+        self.fused = fused
         self._step_fns = {}
 
     # ----- state ---------------------------------------------------------
@@ -134,10 +150,16 @@ class Projector:
         bound = self.model.bind(self.params)
         n_latent = bound.decoder.n_latent
 
-        azim = -np.pi + jax.random.uniform(k2, (2, 1)) * 2 * np.pi
-        if any(azim_init):
-            azim = jnp.asarray(azim_init, jnp.float32).reshape(2, 1)
-        elev = jnp.zeros((2, 1))
+        if cfg.cam_param == "axis_angle":
+            # identity rotation, camera on the unit sphere at +z
+            # (projector_axis_angle.py:259-262)
+            azim = jnp.zeros((2, 3))
+            elev = jnp.zeros((2, 3)).at[:, 2].set(1.0)
+        else:
+            azim = -np.pi + jax.random.uniform(k2, (2, 1)) * 2 * np.pi
+            if any(azim_init):
+                azim = jnp.asarray(azim_init, jnp.float32).reshape(2, 1)
+            elev = jnp.zeros((2, 1))
 
         w_render = jnp.repeat(wr_mean[:, None, :], n_render, axis=1)
         w_decoder = jnp.repeat(wd_mean[:, None, :], n_latent, axis=1)
@@ -189,10 +211,28 @@ class Projector:
         """G forward from the optimisation tree (projector _G_forward
         :211-277): camera from (azim, elev); styles repeated to batch 2."""
         azim, elev = tree["cam"]["azim"], tree["cam"]["elev"]
-        cam = camera_from_angles(
-            azim[:, 0], elev[:, 0], self.gcfg.img_size,
-            fov_ang=self.gcfg.fov_ang, dist_radius=self.gcfg.dist_radius,
-        )
+        if self.cfg.cam_param == "axis_angle":
+            # free camera: rot axis-angle + sphere-projected translation
+            # (projector_axis_angle.py:201-203)
+            from ..core.camera import camera2world_from_axis_angle
+
+            trans = elev / jnp.maximum(
+                jnp.linalg.norm(elev, axis=-1, keepdims=True), 1e-8
+            )
+            ext = camera2world_from_axis_angle(azim, trans)
+            s = self.gcfg.img_size
+            fov = jnp.full((2, 1, 1), self.gcfg.fov_ang * np.pi / 180.0)
+            focal = 0.5 * s / jnp.tan(fov)
+            near = jnp.full((2, 1, 1), 1.0 - self.gcfg.dist_radius)
+            far = jnp.full((2, 1, 1), 1.0 + self.gcfg.dist_radius)
+            from ..core.camera import CameraParams
+
+            cam = CameraParams(ext, focal, near, far, jnp.zeros((2, 2)))
+        else:
+            cam = camera_from_angles(
+                azim[:, 0], elev[:, 0], self.gcfg.img_size,
+                fov_ang=self.gcfg.fov_ang, dist_radius=self.gcfg.dist_radius,
+            )
         style_render = jnp.repeat(tree["render"]["w_render"], 2, axis=0)
         style_decoder = jnp.repeat(tree["decoder"]["w_decoder"], 2, axis=0)
         if flip_w_decoder:
@@ -217,6 +257,7 @@ class Projector:
             noise_bufs=noise_bufs,
             perturb=True,
             renderer_detach=False,
+            fused_renderer=self.fused,
             rngs={"perturb": key},
         )
         return out
@@ -368,9 +409,20 @@ class Projector:
                               state.noise_bufs)
         out = self._forward(tree, jax.random.PRNGKey(0), False)
         proj = np.asarray(out["rgb"])
+        # PSNR/SSIM/LPIPS report (projector_v10.py:1266-1275)
+        from ..utils.lpips import lpips as lpips_fn, init_lpips
+
+        lpips_vars = self.lpips_variables
+        lpips_random = lpips_vars is None
+        if lpips_random:
+            lpips_vars = init_lpips(jax.random.PRNGKey(0))
         report = {
             "psnr": float(psnr(jnp.asarray(proj[0]), target[0])),
             "ssim": float(ssim(jnp.asarray(proj[0]), target[0])),
+            "lpips": float(
+                lpips_fn(lpips_vars, jnp.asarray(proj[:1]), target[:1])
+            ),
+            "lpips_weights": "random" if lpips_random else "imported",
             "loss": float(metrics.get("loss", np.nan)),
             "azim": np.asarray(state.azim).ravel().tolist(),
             "elev": np.asarray(state.elev).ravel().tolist(),
@@ -378,13 +430,17 @@ class Projector:
         return state, proj, report
 
     def save_inversion(self, path: str, state: InversionState):
-        """Inversion artifact = its own checkpoint (projector :1046-1055)."""
+        """Inversion artifact = its own checkpoint (projector :1046-1055).
+        Like the reference, BOTH renderer and decoder states are saved so
+        inverted multi-view restores the exact graph regardless of which base
+        checkpoint is loaded later (render_video_web_v10.py:1039-1048)."""
         import pickle
 
         blob = jax.tree.map(np.asarray, {
             "azim": state.azim, "elev": state.elev,
             "w_render_opt": state.w_render, "w_decoder_opt": state.w_decoder,
             "decoder_params": state.decoder_params,
+            "renderer_params": self.params["params"]["renderer"],
             "noise_bufs": list(state.noise_bufs),
         })
         with open(path, "wb") as f:

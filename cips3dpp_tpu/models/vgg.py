@@ -44,13 +44,23 @@ TAP_LAYERS = (2, 7, 14, 21, 28)
 
 
 class VGG16Features(nn.Module):
-    """Conv trunk; returns {features_idx: pre-activation conv output}."""
+    """Conv trunk; returns {features_idx: conv output}.
+
+    post_relu=False taps the pre-activation conv output ('vgg16_conv'
+    semantics, the projector's perceptual loss); post_relu=True taps after
+    the ReLU (LPIPS reads relu{1_2,2_2,3_3,4_3,5_3}; see utils/lpips.py).
+    Both share the same parameter tree, so one imported torchvision
+    checkpoint serves both metrics.
+    """
 
     taps: Sequence[int] = TAP_LAYERS
+    post_relu: bool = False
 
     @nn.compact
     def __call__(self, x):
-        """x: NHWC in [-1, 1]."""
+        """x: NHWC in [-1, 1]. The imagenet normalisation below is also
+        exactly LPIPS's ScalingLayer: mean*2-1 = (-.030,-.088,-.188),
+        std*2 = (.458,.448,.450)."""
         x = (x + 1.0) / 2.0
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
@@ -61,9 +71,11 @@ class VGG16Features(nn.Module):
             if pool_before:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = nn.Conv(ch, (3, 3), padding="SAME", name=f"conv_{idx}")(x)
-            if idx in self.taps:
+            if idx in self.taps and not self.post_relu:
                 feats[idx] = x  # pre-activation tap ('vgg16_conv' semantics)
             x = nn.relu(x)
+            if idx in self.taps and self.post_relu:
+                feats[idx] = x
         return feats
 
 
