@@ -108,6 +108,9 @@ def cmd_sample_multi_view(argv):
     p.add_argument("--fps", type=int, default=12)
     p.add_argument("--truncation", type=float, default=0.7)
     p.add_argument("--zero-noise", action="store_true")
+    p.add_argument("--project-noise", action="store_true",
+                   help="geometry-aware noise: splat fixed per-vertex noise "
+                        "from the extracted surface (model_v3.py:344-415)")
     p.add_argument("--fused", action="store_true",
                    help="Pallas fused SIREN renderer (flagship geometry)")
     args = p.parse_args(argv)
@@ -146,18 +149,182 @@ def cmd_sample_multi_view(argv):
     out = render_trajectory(
         model, params, zs, cams, truncation=args.truncation,
         mean_latents=means, zero_noise=args.zero_noise, fused=args.fused,
+        project_noise=args.project_noise,
+        project_noise_key=jax.random.PRNGKey(args.seed + 1),
     )
     os.makedirs(args.outdir, exist_ok=True)
     vp = save_video(out["rgb"], f"{args.outdir}/video.mp4", fps=args.fps)
     save_video(out["thumb_rgb"], f"{args.outdir}/video_thumb.mp4", fps=args.fps)
-    # depth-surface video from the xyz map (reference renders a Delaunay
-    # mesh through pytorch3d; here a normal-shaded xyz map, utils/mesh.py)
-    from ..utils.mesh import depth_to_normal_shading
+    # depth-surface video: Delaunay-equivalent mesh of the xyz map,
+    # lambertian-shaded through the software rasterizer (the reference's
+    # pytorch3d depth-mesh render, render_video_web_v10.py:1840-1882)
+    from ..utils.mesh import xyz_to_mesh
+    from ..utils.rasterize import shaded_mesh_image
 
-    depth_frames = np.stack([depth_to_normal_shading(x) for x in out["xyz"]])
-    save_video(depth_frames, f"{args.outdir}/video_depth.mp4", fps=args.fps)
+    depth_res = min(4 * gcfg.img_size, 256)
+    depth_frames = []
+    for i, x in enumerate(out["xyz"]):
+        verts, faces = xyz_to_mesh(x)
+        img, _ = shaded_mesh_image(
+            verts, faces, np.asarray(cams.extrinsics[i]),
+            float(np.asarray(cams.focal[i]).ravel()[0])
+            * depth_res / gcfg.img_size,
+            depth_res,
+        )
+        depth_frames.append(img)
+    save_video(np.stack(depth_frames), f"{args.outdir}/video_depth.mp4",
+               fps=args.fps)
     gp = save_image_grid(out["rgb"], f"{args.outdir}/frames.png")
     print(json.dumps({"video": vp, "grid": gp, "frames": len(out["rgb"])}))
+
+
+def cmd_fixed_zs_multi_view(argv):
+    """Grid video of several fixed identities sharing one camera sweep
+    (_fixed_zs_multi_view_web, render_video_web_v10.py:2128-2322)."""
+    p = _base_parser("fixed-zs multi-view grid video")
+    p.add_argument("--n-zs", type=int, default=4, help="identities in the grid")
+    p.add_argument("--view-mode", default="circle",
+                   choices=["circle", "elev_circle", "yaw"])
+    p.add_argument("--n-frames", type=int, default=36)
+    p.add_argument("--fps", type=int, default=12)
+    p.add_argument("--truncation", type=float, default=0.7)
+    p.add_argument("--zero-noise", action="store_true")
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    from .sample import (
+        yaw_trajectory, circle_trajectory, elev_circle_trajectory,
+        get_styles, make_frame_renderer, tile_grid, save_video,
+        save_image_grid,
+    )
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(args.seed))
+    n = args.n_zs
+    zs = (
+        jax.random.normal(k1, (n, gcfg.mapping.z_dim)),
+        jax.random.normal(k2, (n, gcfg.mapping.z_dim)),
+    )
+    means = None
+    if args.truncation < 1:
+        means = model.apply(params, jax.random.PRNGKey(2), 10_000,
+                            method="mean_latents")
+    style_render, style_decoder = get_styles(
+        model, params, zs, args.truncation, means
+    )
+    noise = model.bind(params).decoder.make_noise(
+        jax.random.PRNGKey(3), gcfg.img_size
+    )
+    if args.zero_noise:
+        noise = [jnp.zeros_like(b) for b in noise]
+    noise = [jnp.repeat(b, n, axis=0) for b in noise]
+
+    traj = {
+        "yaw": lambda: yaw_trajectory(args.n_frames, gcfg.img_size,
+                                      fov_ang=gcfg.fov_ang,
+                                      dist_radius=gcfg.dist_radius),
+        "circle": lambda: circle_trajectory(args.n_frames, gcfg.img_size,
+                                            dist_radius=gcfg.dist_radius),
+        "elev_circle": lambda: elev_circle_trajectory(
+            args.n_frames, gcfg.img_size, dist_radius=gcfg.dist_radius),
+    }[args.view_mode]()
+
+    frame = make_frame_renderer(model, params)
+    rep = lambda a, i: jnp.repeat(a[i : i + 1], n, axis=0)
+    frames = []
+    n_frames = traj.extrinsics.shape[0]
+    for i in range(n_frames):
+        rgb, *_ = frame(
+            style_render, style_decoder, rep(traj.extrinsics, i),
+            rep(traj.focal, i), rep(traj.near, i), rep(traj.far, i), noise,
+        )
+        frames.append(tile_grid(np.asarray(rgb)))
+    os.makedirs(args.outdir, exist_ok=True)
+    vp = save_video(np.stack(frames), f"{args.outdir}/video.mp4", fps=args.fps)
+    gp = save_image_grid(np.asarray(frames[0])[None],
+                         f"{args.outdir}/frame0.png", n_cols=1)
+    print(json.dumps({"video": vp, "grid": gp, "frames": n_frames,
+                      "n_zs": n}))
+
+
+def cmd_lerp_inversions(argv):
+    """Interpolation gallery over saved inversions: lerp w's, decoder params
+    and noise buffers between consecutive artifacts, cycling
+    (lerp_image_list, projector_v10.py:732-821)."""
+    p = _base_parser("video lerping between saved inversion artifacts")
+    p.add_argument("--inversions", nargs="+", required=True,
+                   help="two or more w.pkl paths")
+    p.add_argument("--n-interp", type=int, default=12, help="frames per pair")
+    p.add_argument("--fps", type=int, default=10)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    import jax
+    import jax.numpy as jnp
+    from .inversion import Projector
+    from .sample import save_video
+    from ..core.camera import camera_from_angles
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    blobs = [Projector.load_inversion(pth) for pth in args.inversions]
+
+    @jax.jit
+    def frame_fn(p_t, sr, sd, ext, focal, near, far, noise):
+        out = model.apply(
+            p_t, style_render=sr, style_decoder=sd, cam_poses=ext,
+            focals=focal, near=near, far=far, noise_bufs=noise, perturb=False,
+        )
+        return out["rgb"]
+
+    frames = []
+    n_authors = len(blobs)
+    for idx in range(n_authors):
+        cur, nxt = blobs[idx], blobs[(idx + 1) % n_authors]
+        for t in np.linspace(0.0, 1.0, args.n_interp, endpoint=False):
+            t = float(t)
+            lerp_tree = jax.tree.map(
+                lambda a, b: (1.0 - t) * a + t * b,
+                {k: cur[k] for k in
+                 ("w_render_opt", "w_decoder_opt", "decoder_params",
+                  "noise_bufs")},
+                {k: nxt[k] for k in
+                 ("w_render_opt", "w_decoder_opt", "decoder_params",
+                  "noise_bufs")},
+            )
+            restored = {**params["params"],
+                        "decoder": lerp_tree["decoder_params"]}
+            if "renderer_params" in cur and "renderer_params" in nxt:
+                restored["renderer"] = jax.tree.map(
+                    lambda a, b: (1.0 - t) * a + t * b,
+                    cur["renderer_params"], nxt["renderer_params"],
+                )
+            p_t = {**params, "params": restored}
+            azim = (1.0 - t) * float(cur["azim"][0, 0]) + t * float(
+                nxt["azim"][0, 0]
+            )
+            elev = (1.0 - t) * float(cur["elev"][0, 0]) + t * float(
+                nxt["elev"][0, 0]
+            )
+            cam = camera_from_angles(
+                jnp.asarray([azim]), jnp.asarray([elev]), gcfg.img_size,
+                fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius,
+            )
+            rgb = frame_fn(
+                p_t,
+                jnp.asarray(lerp_tree["w_render_opt"]),
+                jnp.asarray(lerp_tree["w_decoder_opt"]),
+                cam.extrinsics, cam.focal, cam.near, cam.far,
+                [jnp.asarray(b) for b in lerp_tree["noise_bufs"]],
+            )
+            frames.append(np.asarray(rgb[0]))
+    os.makedirs(args.outdir, exist_ok=True)
+    vp = save_video(np.stack(frames), f"{args.outdir}/gallery.mp4",
+                    fps=args.fps)
+    print(json.dumps({"video": vp, "frames": len(frames)}))
 
 
 def cmd_interpolate_z(argv):
@@ -273,9 +440,17 @@ def cmd_invert(argv):
     p.add_argument("--image", type=str, required=True)
     p.add_argument("--vgg", type=str, default=None,
                    help="torchvision vgg16 .pth for the perceptual loss")
+    p.add_argument("--lpips", type=str, default=None,
+                   help="lpips package vgg.pth lin weights (needs --vgg too)")
     p.add_argument("--azim-init", type=float, nargs=2, default=[0.0, 0.0])
+    p.add_argument("--cam-param", choices=["angles", "axis_angle"],
+                   default=None,
+                   help="camera parameterisation (axis_angle = the "
+                        "reference's _flip_inversion_axis_angle_web mode)")
     args = p.parse_args(argv)
     cfg = _load_cfg(args)
+    if args.cam_param:
+        cfg["cam_param"] = args.cam_param
 
     import jax
     from PIL import Image
@@ -292,6 +467,13 @@ def cmd_invert(argv):
         print("[cli] no --vgg weights: random-VGG perceptual loss "
               "(reference 'vgg16_conv_random' mode)", file=sys.stderr)
         vgg = init_vgg(jax.random.PRNGKey(0))
+    lpips_vars = None
+    if args.lpips and args.vgg:
+        from ..utils.lpips import import_lpips_torch
+
+        lpips_vars = import_lpips_torch(
+            load_torch_checkpoint(args.vgg), load_torch_checkpoint(args.lpips)
+        )
 
     import dataclasses
 
@@ -308,13 +490,16 @@ def cmd_invert(argv):
     img = img.resize((size, size), Image.LANCZOS)
     target = np.asarray(img, np.float32) / 127.5 - 1.0
 
-    proj = Projector(model, params, vgg, icfg)
+    proj = Projector(model, params, vgg, icfg, lpips_variables=lpips_vars)
     os.makedirs(args.outdir, exist_ok=True)
     state, proj_img, report = proj.project(
         target, key=jax.random.PRNGKey(args.seed),
         azim_init=tuple(args.azim_init),
         logger=lambda s, m: print(f"step {s}: {m}", file=sys.stderr),
     )
+    # explicit weight provenance so random-VGG smoke runs can't be mistaken
+    # for real quality numbers
+    report["vgg_weights"] = "imported" if args.vgg else "random"
     u8 = ((np.clip(proj_img[0], -1, 1) + 1) * 127.5).astype(np.uint8)
     Image.fromarray(u8).save(f"{args.outdir}/proj.png")
     proj.save_inversion(f"{args.outdir}/w.pkl", state)
@@ -339,9 +524,12 @@ def cmd_render_inverted(argv):
     model, gcfg = _build_generator(cfg)
     params = _load_params(model, gcfg, cfg)
     blob = Projector.load_inversion(args.inversion)
-    # restore fitted decoder params (render_video_web_v10.py:1039-1048)
-    params = {**params, "params": {**params["params"],
-                                   "decoder": blob["decoder_params"]}}
+    # restore BOTH fitted decoder params and the renderer state the inversion
+    # ran against (render_video_web_v10.py:1039-1048, projector_v10.py:1046-1055)
+    restored = {**params["params"], "decoder": blob["decoder_params"]}
+    if "renderer_params" in blob:
+        restored["renderer"] = blob["renderer_params"]
+    params = {**params, "params": restored}
 
     azim0 = float(blob["azim"][0, 0])
     cams = yaw_trajectory(
@@ -415,16 +603,124 @@ def cmd_extract_shape(argv):
     print(json.dumps(results))
 
 
+def render_parity_grid(model, params, n_seeds: int = 2, n_views: int = 3):
+    """Deterministic (z, camera) render grid for checkpoint-parity checks:
+    fixed seeds, fixed yaw sweep, perturb off, zero noise buffers. Returns
+    dict(rgb (S*V,H,W,3), thumb_rgb, zs, azim)."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.camera import camera_from_angles
+
+    gcfg = model.cfg
+    azim = np.linspace(-gcfg.azim_range, gcfg.azim_range, n_views)
+    cams = camera_from_angles(
+        jnp.asarray(azim, jnp.float32), jnp.zeros((n_views,), jnp.float32),
+        gcfg.img_size, fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius,
+    )
+    noise = [
+        jnp.zeros_like(b)
+        for b in model.bind(params).decoder.make_noise(
+            jax.random.PRNGKey(0), gcfg.img_size
+        )
+    ]
+
+    @jax.jit
+    def one(z0, z1, ext, focal, near, far):
+        return model.apply(
+            params, zs=(z0, z1), cam_poses=ext, focals=focal,
+            near=near, far=far, noise_bufs=noise, perturb=False,
+        )
+
+    rgbs, thumbs, zs_out = [], [], []
+    for s in range(n_seeds):
+        k0, k1 = jax.random.split(jax.random.PRNGKey(1000 + s))
+        z0 = jax.random.normal(k0, (1, gcfg.mapping.z_dim))
+        z1 = jax.random.normal(k1, (1, gcfg.mapping.z_dim))
+        zs_out.append(np.concatenate([np.asarray(z0), np.asarray(z1)]))
+        for v in range(n_views):
+            out = one(
+                z0, z1, cams.extrinsics[v : v + 1], cams.focal[v : v + 1],
+                cams.near[v : v + 1], cams.far[v : v + 1],
+            )
+            rgbs.append(np.asarray(out["rgb"][0], np.float32))
+            thumbs.append(np.asarray(out["thumb_rgb"][0], np.float32))
+    return {
+        "rgb": np.stack(rgbs),
+        "thumb_rgb": np.stack(thumbs),
+        "zs": np.stack(zs_out),
+        "azim": azim.astype(np.float32),
+    }
+
+
+def cmd_verify_import(argv):
+    """Checkpoint-parity harness: render a fixed (z, camera) grid from an
+    imported G_ema.pth and compare per-pixel against a stored golden. Run
+    once with --save-golden on a trusted setup; real released weights
+    (train_cips3d_ffhq_v10.yaml:3-8) drop in with zero code changes."""
+    p = _base_parser("verify imported checkpoint against golden renders")
+    p.add_argument("--golden", type=str, default=None,
+                   help="golden .npz to compare against")
+    p.add_argument("--save-golden", type=str, default=None,
+                   help="write the golden .npz instead of comparing")
+    p.add_argument("--tol", type=float, default=1e-3,
+                   help="max abs per-pixel tolerance in [-1,1] units")
+    p.add_argument("--n-seeds", type=int, default=2)
+    p.add_argument("--n-views", type=int, default=3)
+    args = p.parse_args(argv)
+    cfg = _load_cfg(args)
+
+    model, gcfg = _build_generator(cfg)
+    params = _load_params(model, gcfg, cfg)
+    grid = render_parity_grid(model, params, args.n_seeds, args.n_views)
+
+    if args.save_golden:
+        os.makedirs(os.path.dirname(os.path.abspath(args.save_golden)),
+                    exist_ok=True)
+        np.savez_compressed(args.save_golden, **grid)
+        print(json.dumps({"saved": args.save_golden,
+                          "n_images": int(grid["rgb"].shape[0])}))
+        return
+    if not args.golden:
+        p.error("one of --golden / --save-golden is required")
+    ref = np.load(args.golden)
+    report = {}
+    ok = True
+    for k in ("rgb", "thumb_rgb"):
+        if ref[k].shape != grid[k].shape:
+            report[k] = {"shape_mismatch": [list(ref[k].shape),
+                                            list(grid[k].shape)]}
+            ok = False
+            continue
+        err = np.abs(ref[k] - grid[k])
+        mse = float(np.mean(np.square(ref[k] - grid[k])))
+        report[k] = {
+            "max_abs_err": float(err.max()),
+            "mean_abs_err": float(err.mean()),
+            "psnr": float(10 * np.log10(4.0 / max(mse, 1e-12))),
+        }
+        ok = ok and err.max() <= args.tol
+    report["tol"] = args.tol
+    report["pass"] = bool(ok)
+    print(json.dumps(report))
+    return 0 if ok else 1
+
+
 def cmd_eval_fid(argv):
     p = _base_parser("FID/KID evaluation")
     p.add_argument("--data", type=str, required=True)
-    p.add_argument("--n-images", type=int, default=2048)
+    # reference protocol: 50k real / 50k fake, KID on
+    # (train_cips3d_ffhq_v10.yaml:801-806); override via config or flags
+    p.add_argument("--n-images", type=int, default=None)
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--inception", type=str, default=None,
                    help="pt_inception .pth weights")
-    p.add_argument("--kid", action="store_true")
+    p.add_argument("--kid", action="store_true", default=None)
     args = p.parse_args(argv)
     cfg = _load_cfg(args)
+    if args.n_images is None:
+        args.n_images = int(cfg.get("n_images", 50_000))
+    if args.kid is None:
+        args.kid = bool(cfg.get("kid", True))
 
     import jax
     from ..io.dataset import open_dataset, data_iterator
@@ -450,7 +746,9 @@ def cmd_eval_fid(argv):
     res = eval_fid(model, params, real, incep, n_fake=args.n_images,
                    batch_size=args.batch, key=jax.random.PRNGKey(args.seed),
                    with_kid=args.kid)
-    print(json.dumps(dataclasses_asdict(res)))
+    out = dataclasses_asdict(res)
+    out["inception_weights"] = "imported" if args.inception else "random"
+    print(json.dumps(out))
 
 
 def dataclasses_asdict(x):
@@ -551,12 +849,15 @@ COMMANDS = {
     "train": cmd_train,
     "sphere-init": cmd_sphere_init,
     "sample-multi-view": cmd_sample_multi_view,
+    "fixed-zs-multi-view": cmd_fixed_zs_multi_view,
     "interpolate-z": cmd_interpolate_z,
+    "lerp-inversions": cmd_lerp_inversions,
     "style-mixing": cmd_style_mixing,
     "interpolate-decoder": cmd_interpolate_decoder,
     "invert": cmd_invert,
     "render-inverted": cmd_render_inverted,
     "eval-fid": cmd_eval_fid,
+    "verify-import": cmd_verify_import,
     "extract-shape": cmd_extract_shape,
     "prepare-data": cmd_prepare_data,
     "rendering-time": cmd_rendering_time,
@@ -573,8 +874,8 @@ def main(argv=None):
     if cmd not in COMMANDS:
         print(f"unknown command {cmd!r}; have {sorted(COMMANDS)}", file=sys.stderr)
         return 2
-    COMMANDS[cmd](argv[1:])
-    return 0
+    rc = COMMANDS[cmd](argv[1:])
+    return 0 if rc is None else rc
 
 
 if __name__ == "__main__":

@@ -77,6 +77,35 @@ def circle_trajectory(
     )
 
 
+def elev_circle_trajectory(
+    n_frames: int,
+    img_size: int,
+    azim_range=(-0.3, 0.3),
+    elev_range: float = 0.15,
+    fov_range=(5.0, 7.0),
+    dist_radius: float = 0.12,
+) -> CameraParams:
+    """Elevation ramp then azimuth sweep with fov breathing
+    (_fixed_zs_multi_view_web 'elev_circle', render_video_web_v10.py:2231-2263)."""
+    half = n_frames // 2
+    t = jnp.linspace(0.0, 1.0, half)
+    # phase 1: raise elevation at the first fov
+    azim1 = jnp.zeros((half,))
+    elev1 = elev_range * t
+    fov1 = jnp.full((half,), fov_range[0])
+    # phase 2: azimuth sweep at full elevation, fov sin sweep
+    azim2 = azim_range[0] + (azim_range[1] - azim_range[0]) * t
+    elev2 = jnp.full((half,), elev_range)
+    fov2 = fov_range[0] + (fov_range[1] - fov_range[0]) * jnp.sin(t * jnp.pi)
+    return camera_from_angles(
+        jnp.concatenate([azim1, azim2]),
+        jnp.concatenate([elev1, elev2]),
+        img_size,
+        fov_ang=jnp.concatenate([fov1, fov2]),
+        dist_radius=dist_radius,
+    )
+
+
 def translate_rotate_trajectory(
     n_frames: int,
     img_size: int,
@@ -149,6 +178,59 @@ def get_styles(model, params, zs, truncation=1.0, mean_latents=None):
     )
 
 
+def make_noise_projector(
+    model,
+    params,
+    style_render,
+    key,
+    *,
+    mesh_resolution: int = 128,
+    max_res: int = 256,
+    bounds: float = 0.24,
+):
+    """Geometry-aware noise projection (model_v3.py:344-415): extract the
+    marching-cubes surface of the current identity once, attach fixed
+    per-vertex noise, and per frame rasterize it from the camera so the
+    decoder noise sticks to the geometry across views. Buffers larger than
+    `max_res` pass through unchanged (the reference subdivides the mesh
+    instead; vertex density, not resolution, is the quality limit).
+
+    Returns project(noise_bufs, extrinsics, focal) -> new noise_bufs."""
+    from ..utils.mesh import extract_shape
+    from ..utils.rasterize import rasterize_mesh
+
+    verts, faces = extract_shape(
+        model, params, style_render, resolution=mesh_resolution, bounds=bounds
+    )
+    vert_noise = jax.random.normal(key, (max(len(verts), 1), 1))
+    verts_j = jnp.asarray(verts.reshape(-1, 3), jnp.float32)
+    faces_j = jnp.asarray(faces.reshape(-1, 3), jnp.int32)
+
+    def project(noise_bufs, extrinsics, focal):
+        if len(verts) == 0:  # no surface crossed the iso-level
+            return list(noise_bufs)
+        cache = {}
+        out = []
+        for buf in noise_bufs:
+            res = buf.shape[1]
+            if res > max_res:
+                out.append(buf)
+                continue
+            if res not in cache:
+                color, _, hit = rasterize_mesh(
+                    verts_j, faces_j, vert_noise,
+                    extrinsics[0], focal.reshape(-1)[0], res,
+                )
+                cache[res] = (color, hit)
+            color, hit = cache[res]
+            # visible surface takes the projected noise; the rest keeps the
+            # buffer (reference prev_noise semantics, model_v3.py:408-414)
+            out.append(jnp.where(hit[None, :, :, None], color[None], buf))
+        return out
+
+    return project
+
+
 def render_trajectory(
     model,
     params,
@@ -161,10 +243,14 @@ def render_trajectory(
     zero_noise: bool = False,
     ray_chunk=None,
     fused: bool = False,
+    project_noise: bool = False,
+    project_noise_key=None,
+    project_noise_max_res: int = 256,
 ):
     """Render every frame of a camera trajectory with fixed latents
     (_sample_multi_view_web hot loop, render_video_web_v10.py:1806-1824).
 
+    project_noise=True enables geometry-aware noise (model_v3.py:344-415).
     Returns dict of stacked host arrays: rgb (N,H,W,3) in [-1,1], thumb,
     depth, xyz."""
     style_render, style_decoder = get_styles(model, params, zs, truncation, mean_latents)
@@ -175,11 +261,26 @@ def render_trajectory(
         )
     if zero_noise:
         noise_bufs = [jnp.zeros_like(b) for b in noise_bufs]
+    projector = None
+    if project_noise:
+        key = (
+            project_noise_key
+            if project_noise_key is not None
+            else jax.random.PRNGKey(7)
+        )
+        projector = make_noise_projector(
+            model, params, style_render, key, max_res=project_noise_max_res,
+        )
 
     frame = make_frame_renderer(model, params, ray_chunk=ray_chunk, fused=fused)
     outs = {"rgb": [], "thumb_rgb": [], "depth": [], "xyz": []}
     n = cams.extrinsics.shape[0]
     for i in range(n):
+        frame_noise = noise_bufs
+        if projector is not None:
+            frame_noise = projector(
+                noise_bufs, cams.extrinsics[i : i + 1], cams.focal[i : i + 1]
+            )
         rgb, thumb, depth, xyz = frame(
             style_render,
             style_decoder,
@@ -187,7 +288,7 @@ def render_trajectory(
             cams.focal[i : i + 1],
             cams.near[i : i + 1],
             cams.far[i : i + 1],
-            noise_bufs,
+            frame_noise,
         )
         outs["rgb"].append(np.asarray(rgb[0]))
         outs["thumb_rgb"].append(np.asarray(thumb[0]))
@@ -277,6 +378,20 @@ def save_video(frames: np.ndarray, path: str, fps: int = 30):
         path = path.rsplit(".", 1)[0] + ".gif"
         imageio.mimwrite(path, u8, duration=1000.0 / fps, loop=0)
     return path
+
+
+def tile_grid(frames: np.ndarray, n_cols: int | None = None) -> np.ndarray:
+    """Tile (N,H,W,C) into one (rH, cW, C) image (torchvision make_grid
+    semantics with padding=0, used by _fixed_zs_multi_view_web)."""
+    n, h, w, c = frames.shape
+    if n_cols is None:
+        n_cols = max(1, int(np.sqrt(n)))
+    n_rows = (n + n_cols - 1) // n_cols
+    grid = np.full((n_rows * h, n_cols * w, c), -1.0, frames.dtype)
+    for i in range(n):
+        r, cc = divmod(i, n_cols)
+        grid[r * h : (r + 1) * h, cc * w : (cc + 1) * w] = frames[i]
+    return grid
 
 
 def save_image_grid(frames: np.ndarray, path: str, n_cols: int = 8):

@@ -140,3 +140,27 @@ def test_flip_inversion_tiny(tiny_gen):
         np.testing.assert_array_equal(
             np.asarray(blob["w_render_opt"]), np.asarray(state.w_render)
         )
+
+
+def test_flip_inversion_axis_angle(tiny_gen):
+    """Axis-angle camera parameterisation (projector_axis_angle.py:191-278,
+    _flip_inversion_axis_angle_web)."""
+    from cips3dpp_tpu.apps.inversion import Projector, InversionConfig
+    from cips3dpp_tpu.models.vgg import init_vgg
+
+    cfg, model, params = tiny_gen
+    vgg = init_vgg(jax.random.PRNGKey(0), img_size=32)
+    icfg = InversionConfig(
+        n_steps_pose=3, n_steps_app=3, n_steps_multiview=0,
+        flip_w_decoder_every=2, w_avg_samples=32, cam_param="axis_angle",
+    )
+    proj = Projector(model, params, vgg, icfg)
+    target = np.asarray(
+        jnp.tanh(jax.random.normal(jax.random.PRNGKey(9), (32, 32, 3)))
+    )
+    state, proj_img, report = proj.project(target, key=jax.random.PRNGKey(1))
+    assert state.azim.shape == (2, 3)  # rot axis-angle
+    assert state.elev.shape == (2, 3)  # trans on the sphere
+    assert np.isfinite(report["psnr"]) and np.isfinite(report["lpips"])
+    # camera params moved during the pose phase
+    assert float(jnp.abs(state.elev - jnp.asarray([[0.0, 0.0, 1.0]])).max()) > 0

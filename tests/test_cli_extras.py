@@ -80,3 +80,92 @@ def test_cli_extract_shape(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert os.path.exists(res[0]["obj"])
     assert os.path.exists(res[0]["img"])
+
+
+def test_cli_sample_project_noise(tmp_path, capsys):
+    """Geometry-aware noise projection through the sampling CLI
+    (model_v3.py:344-415)."""
+    import json, os
+    from cips3dpp_tpu.apps.cli import main
+    from test_cli import TINY_OPTS
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("sample: {G_cfg: {}}\n")
+    rc = main([
+        "sample-multi-view", "--cfg", str(cfg), "--section", "sample",
+        "--opts", *TINY_OPTS,
+        "--outdir", str(tmp_path / "out"), "--n-frames", "2",
+        "--truncation", "1.0", "--project-noise",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["frames"] == 2
+    assert os.path.exists(res["video"])
+
+
+def test_cli_fixed_zs_multi_view(tmp_path, capsys):
+    """_fixed_zs_multi_view_web parity (render_video_web_v10.py:2128)."""
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("fixed: {G_cfg: {}}\n")
+    rc = main([
+        "fixed-zs-multi-view", "--cfg", str(cfg), "--section", "fixed",
+        "--opts", *TINY_OPTS,
+        "--outdir", str(tmp_path / "out"), "--n-frames", "2", "--n-zs", "4",
+        "--view-mode", "elev_circle", "--truncation", "1.0",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["frames"] == 2 and res["n_zs"] == 4
+    assert os.path.exists(res["video"])
+    # 4 identities tile to a 2x2 grid of 16^2 tiles
+    from PIL import Image
+
+    assert Image.open(res["grid"]).size == (32, 32)
+
+
+def test_cli_lerp_inversions(tmp_path, capsys):
+    """lerp_image_list parity (projector_v10.py:732): lerp between two saved
+    inversion artifacts."""
+    import pickle
+    import jax.numpy as jnp
+    from cips3dpp_tpu.apps.inversion import Projector, InversionConfig
+    from cips3dpp_tpu.models.generator import Generator
+    from cips3dpp_tpu.models.vgg import init_vgg
+    from test_models import tiny_config
+
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    model = Generator(gen_cfg)
+    from cips3dpp_tpu.core import sample_cameras
+
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), 1, 8)
+    zs = (jnp.zeros((1, 256)), jnp.zeros((1, 256)))
+    params = model.init(
+        {"params": key, "perturb": key, "noise": key},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    vgg = init_vgg(jax.random.PRNGKey(0), img_size=16)
+    icfg = InversionConfig(n_steps_pose=1, n_steps_app=1, w_avg_samples=8)
+    proj = Projector(model, params, vgg, icfg)
+    target = np.asarray(
+        jnp.tanh(jax.random.normal(jax.random.PRNGKey(9), (16, 16, 3)))
+    )
+    paths = []
+    for i in range(2):
+        state, _, _ = proj.project(target, key=jax.random.PRNGKey(i))
+        paths.append(str(tmp_path / f"w{i}.pkl"))
+        proj.save_inversion(paths[-1], state)
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("lerp: {G_cfg: {}}\n")
+    rc = main([
+        "lerp-inversions", "--cfg", str(cfg), "--section", "lerp",
+        "--opts", *TINY_OPTS,
+        "--outdir", str(tmp_path / "out"),
+        "--inversions", *paths, "--n-interp", "2",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["frames"] == 4  # 2 pairs x 2 interp frames (cyclic)
+    assert os.path.exists(res["video"])

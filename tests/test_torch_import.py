@@ -113,3 +113,75 @@ def test_equal_linear_matches_torch_formula(tiny_params):
     lp = {"params": params["params"]["style_decoder_0"]}
     got = layer.apply(lp, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(got), out.numpy(), atol=1e-5)
+
+
+def test_verify_import_harness(tmp_path, capsys):
+    """Checkpoint-parity harness (VERDICT #7): export synthetic torch
+    weights, save a golden grid, verify it passes, then corrupt one weight
+    and verify it fails. Real released G_ema.pth weights drop in with zero
+    code changes."""
+    import json
+    import torch
+
+    from cips3dpp_tpu.apps.cli import main
+    from cips3dpp_tpu.io.torch_import import export_generator_state_dict
+    from cips3dpp_tpu.models.generator import Generator
+    from test_models import tiny_config
+
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    gen = Generator(gen_cfg)
+    import jax
+    import jax.numpy as jnp
+    from cips3dpp_tpu.core import sample_cameras
+
+    key = jax.random.PRNGKey(7)
+    cam = sample_cameras(jax.random.PRNGKey(1), 1, gen_cfg.img_size)
+    zs = (jnp.zeros((1, 256)), jnp.zeros((1, 256)))
+    variables = gen.init(
+        {"params": key, "perturb": key, "noise": key},
+        zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far,
+    )
+    sd = export_generator_state_dict(variables)
+    pth = tmp_path / "G_ema.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pth)
+
+    cfg = tmp_path / "cfg.yaml"
+    # tiny_config fields as a yaml section; decoder size_end must match the
+    # block count implied by the exported weights
+    cfg.write_text(
+        "verify:\n"
+        "  ckpt: %s\n"
+        "  G_cfg:\n"
+        "    renderer: {n_layers: 2, hidden_dim: 32}\n"
+        "    decoder: {upsample_list: [128], style_dim: 64, mapping_n_layers: 2}\n"
+        "    img_size: 8\n"
+        "    n_samples: 4\n" % pth
+    )
+    golden = tmp_path / "golden.npz"
+    rc = main([
+        "verify-import", "--cfg", str(cfg), "--section", "verify",
+        "--save-golden", str(golden), "--n-seeds", "1", "--n-views", "2",
+    ])
+    assert rc == 0 and golden.exists()
+    capsys.readouterr()
+
+    rc = main([
+        "verify-import", "--cfg", str(cfg), "--section", "verify",
+        "--golden", str(golden), "--n-seeds", "1", "--n-views", "2",
+    ])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["pass"] and rep["rgb"]["max_abs_err"] == 0.0
+
+    # corrupt one decoder weight -> must fail
+    blob = torch.load(pth, weights_only=True)
+    blob["decoder.conv1.conv.weight"] = blob["decoder.conv1.conv.weight"] + 0.05
+    torch.save(blob, pth)
+    rc = main([
+        "verify-import", "--cfg", str(cfg), "--section", "verify",
+        "--golden", str(golden), "--n-seeds", "1", "--n-views", "2",
+    ])
+    assert rc == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not rep["pass"]
