@@ -175,6 +175,214 @@ def decoder_block_fused(
     return feat, rgb
 
 
+# ===================================================================== v2 ==
+# Packed-lane decoder block: solves the Mosaic narrow-channel blocker.
+#
+# The late decoder blocks have C = 64/32 channels; a (rows, W, C) VMEM tile
+# pads the lane dim to 128, wasting 2-4x VMEM and vector throughput. v2
+# bit-casts (H, W, C) to (H, W/P, P*C) with P = 128//C — P horizontally
+# adjacent pixels share one 128-wide lane vector (a free row-major reshape
+# on the host). Inside the kernel every op is expressed on full 128-lane
+# vectors:
+#   - row 2x upsample: even/odd blend of row-shifted tiles (lanes untouched)
+#   - column 2x upsample: a LINEAR map across the packed lane dim ->
+#     4 constant (L, L) matrices built host-side (prev/cur blocks -> even
+#     out-blocks, cur/next -> odd), applied on the MXU
+#   - per-pixel noise: packed (.., P) noise expanded to (.., P*C) by a
+#     constant 0/1 matrix on the MXU
+#   - the modulated 1x1 conv: kron(I_P, w2) block-diagonal matmul
+# ToRGB + skip accumulation stay in XLA (tiny traffic, avoids a 3-lane
+# output tile); the kernel emits the block's feature map only.
+
+
+def _build_colup_mats(p: int, c: int, k=K4):
+    """Column-upsample as lane-space linear maps. Returns (E_p, E_c, O_c,
+    O_n), each (P*C, P*C): even out-block = prev @ E_p + cur @ E_c, odd
+    out-block = cur @ O_c + next @ O_n (zero blocks at the image edges)."""
+    l = p * c
+    mats = {"ep": np.zeros((l, l), np.float32),
+            "ec": np.zeros((l, l), np.float32),
+            "oc": np.zeros((l, l), np.float32),
+            "on": np.zeros((l, l), np.float32)}
+    for t in (0, 1):  # out block j = 2m + t
+        for r in range(p):
+            u_rel = t * p + r  # out pixel index relative to 2*m*p
+            if u_rel % 2 == 0:
+                # even out pixel u=2w: k0*x[w-1] + k2*x[w]
+                contrib = [(u_rel // 2 - 1, k[0]), (u_rel // 2, k[2])]
+            else:
+                contrib = [(u_rel // 2, k[1]), (u_rel // 2 + 1, k[3])]
+            for d, coeff in contrib:  # d = input pixel relative to block m
+                if 0 <= d < p:
+                    name = "ec" if t == 0 else "oc"
+                    slot = d
+                elif d == -1:
+                    assert t == 0
+                    name, slot = "ep", p - 1
+                elif d == p:
+                    assert t == 1
+                    name, slot = "on", 0
+                else:
+                    raise AssertionError((t, r, d))
+                for ch in range(c):
+                    mats[name][slot * c + ch, r * c + ch] += coeff
+    return mats["ep"], mats["ec"], mats["oc"], mats["on"]
+
+
+def _build_noise_expand(p: int, c: int):
+    """(P,) packed per-pixel noise -> (P*C,): E[i, i*C+c] = 1."""
+    e = np.zeros((p, p * c), np.float32)
+    for i in range(p):
+        e[i, i * c : (i + 1) * c] = 1.0
+    return e
+
+
+def _mxu(a, b):
+    return jnp.dot(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _packed_kernel(
+    yp_ref, yc_ref, yn_ref,  # (T, Wb, L) row-shifted packed conv1 outputs
+    n1_ref,  # (2T, 2Wb, P) packed noise 1
+    n2_ref,  # (2T, 2Wb, P)
+    ep_ref, ec_ref, oc_ref, on_ref,  # (L, L) col-upsample maps (fp32)
+    en_ref,  # (P, L) noise expander
+    w2p_ref,  # (L, L) kron(I_P, w2)
+    b1_ref, b2_ref,  # (1, L) tiled biases
+    nw_ref,  # (1, 2) noise weights (SMEM)
+    feat_ref,  # out (2T, 2Wb, L)
+):
+    lrelu = lambda v: jnp.where(v >= 0, v, 0.2 * v) * 1.4142135623730951
+    t, wb, l = yc_ref.shape
+    p = n1_ref.shape[-1]
+
+    # row 2x upsample (sublane axis): (T,..) -> (2T,..)
+    even = K4[0] * yp_ref[:] + K4[2] * yc_ref[:]
+    odd = K4[1] * yc_ref[:] + K4[3] * yn_ref[:]
+    x = jnp.stack([even, odd], axis=1).reshape(2 * t, wb, l)
+
+    # column 2x upsample in lane space: W-block shifts are non-lane
+    # concatenations; the blends are (rows, L) @ (L, L) MXU matmuls.
+    zb = jnp.zeros((2 * t, 1, l), x.dtype)
+    x_prev = jnp.concatenate([zb, x[:, :-1]], axis=1)
+    x_next = jnp.concatenate([x[:, 1:], zb], axis=1)
+    flat = lambda a: a.reshape(2 * t * wb, l)
+    # fp32 matmuls here: the col-up maps are sparse 0/k masks and the MXU
+    # bf16 rounding of the INPUT activations would double-round them
+    ev = jnp.dot(flat(x_prev), ep_ref[:], preferred_element_type=jnp.float32)
+    ev = ev + jnp.dot(flat(x), ec_ref[:], preferred_element_type=jnp.float32)
+    od = jnp.dot(flat(x), oc_ref[:], preferred_element_type=jnp.float32)
+    od = od + jnp.dot(flat(x_next), on_ref[:], preferred_element_type=jnp.float32)
+    up = jnp.stack(
+        [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
+    ).reshape(2 * t, 2 * wb, l)
+
+    # noise 1 + bias + lrelu
+    n1 = jnp.dot(
+        n1_ref[:].reshape(2 * t * 2 * wb, p), en_ref[:],
+        preferred_element_type=jnp.float32,
+    ).reshape(2 * t, 2 * wb, l)
+    h = lrelu(up + nw_ref[0, 0] * n1 + b1_ref[:])
+
+    # modulated 1x1 conv as block-diagonal matmul
+    h2 = _mxu(h.reshape(2 * t * 2 * wb, l), w2p_ref[:]).reshape(
+        2 * t, 2 * wb, l
+    )
+    n2 = jnp.dot(
+        n2_ref[:].reshape(2 * t * 2 * wb, p), en_ref[:],
+        preferred_element_type=jnp.float32,
+    ).reshape(2 * t, 2 * wb, l)
+    feat_ref[:] = lrelu(h2 + nw_ref[0, 1] * n2 + b2_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_rows", "interpret", "out_dtype")
+)
+def decoder_block_packed(
+    y1,  # (Hp, Wp, C) conv1 (upsampling modconv) matmul output, prev res
+    noise1,  # (2Hp, 2Wp, 1)
+    noise2,  # (2Hp, 2Wp, 1)
+    w2,  # (C, C) pre-modulated conv2 weight
+    b1,  # (C,)
+    b2,  # (C,)
+    noise_w1,
+    noise_w2,
+    t_rows: int = 8,
+    interpret: bool = False,
+    out_dtype=jnp.float32,
+):
+    """Fused upsample+noise+act+conv2+noise+act for one decoder block in the
+    packed-lane layout. Returns feat (2Hp, 2Wp, C). ToRGB/skip remain XLA."""
+    hp, wp, c = y1.shape
+    p = max(1, 128 // c)
+    assert (c * p) % 128 == 0 or c >= 128, (c, p)
+    l = p * c
+    assert wp % p == 0 and hp % t_rows == 0, (hp, wp, p, t_rows)
+    wb = wp // p
+
+    ep, ec, oc, on = (jnp.asarray(m) for m in _build_colup_mats(p, c))
+    en = jnp.asarray(_build_noise_expand(p, c))
+    w2p = jnp.kron(jnp.eye(p, dtype=w2.dtype), w2)
+    b1t = jnp.tile(b1.reshape(1, -1), (1, p)).astype(jnp.float32)
+    b2t = jnp.tile(b2.reshape(1, -1), (1, p)).astype(jnp.float32)
+    nw = jnp.stack([noise_w1, noise_w2]).reshape(1, 2).astype(jnp.float32)
+
+    ypk = y1.reshape(hp, wb, l).astype(jnp.float32)
+    yp, yc, yn = _shifts(ypk)
+    n1 = noise1.reshape(2 * hp, 2 * wb, p).astype(jnp.float32)
+    n2 = noise2.reshape(2 * hp, 2 * wb, p).astype(jnp.float32)
+
+    grid = (hp // t_rows,)
+    row3 = lambda i: (i, 0, 0)
+    full2 = lambda i: (0, 0)
+    tile = lambda r, w, ch: pl.BlockSpec((r, w, ch), row3, memory_space=pltpu.VMEM)
+    const = lambda a, b_: pl.BlockSpec((a, b_), full2, memory_space=pltpu.VMEM)
+
+    feat = pl.pallas_call(
+        _packed_kernel,
+        grid=grid,
+        in_specs=[
+            tile(t_rows, wb, l), tile(t_rows, wb, l), tile(t_rows, wb, l),
+            tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p),
+            const(l, l), const(l, l), const(l, l), const(l, l),
+            const(p, l),
+            const(l, l),
+            const(1, l), const(1, l),
+            pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
+        ],
+        out_specs=tile(2 * t_rows, 2 * wb, l),
+        out_shape=jax.ShapeDtypeStruct((2 * hp, 2 * wb, l), out_dtype),
+        interpret=interpret,
+    )(
+        yp, yc, yn, n1, n2,
+        ep, ec, oc, on, en,
+        w2p.astype(jnp.float32), b1t, b2t, nw,
+    )
+    return feat.reshape(2 * hp, 2 * wp, c)
+
+
+def decoder_block_packed_reference(
+    y1, noise1, noise2, w2, b1, b2, noise_w1, noise_w2
+):
+    """jnp oracle for the packed kernel (feature part of the block)."""
+    from ..ops.upfirdn2d import _upsample2x_separable_4tap
+
+    k1d = np.asarray(K4, np.float32)
+    up = _upsample2x_separable_4tap(y1[None], k1d)[0]
+    lrelu = lambda v: jnp.where(v >= 0, v, 0.2 * v) * 1.4142135623730951
+    h = lrelu(up + noise_w1 * noise1 + b1)
+    hh, ww, c = h.shape
+    h2 = jnp.dot(
+        h.reshape(-1, c).astype(jnp.bfloat16),
+        w2.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(hh, ww, c)
+    return lrelu(h2 + noise_w2 * noise2 + b2)
+
+
 def decoder_block_reference(
     y1, skip, noise1, noise2, w2, wrgb, b1, b2, brgb, noise_w1, noise_w2
 ):

@@ -1,0 +1,135 @@
+"""Serving-path CIPS decoder with Pallas-fused upsample blocks.
+
+Runs the whole Decoder (models/decoder.py, contract model_v3.py:522-729)
+for batch 1 from the raw param tree: the pre-upsample 1x1 modulated convs
+stay XLA einsums (MXU-bound, small activations), while every upsample block
+— the HBM-bound half of serving time — goes through
+kernels.decoder_block.decoder_block_packed (one read + one write of the
+block's activation map instead of XLA's ~11 fusion passes). ToRGB and the
+RGB skip chain stay XLA: their traffic is 3-channel and small.
+
+Numerics match the flax Decoder: fp32 upsample/noise/bias paths, bf16 matmul
+inputs with fp32 accumulation (the TPU default rounding for fp32 dots).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.layers import channel_table
+from ..ops.modulated import modulate_weights_1x1
+from ..ops.upfirdn2d import upsample2x
+from ..ops.fused_act import fused_leaky_relu
+from .decoder_block import decoder_block_packed
+
+
+def _mod_style(mod, style):
+    """EqualLinear(modulation) forward: scale 1/sqrt(in), bias_init 1."""
+    w, b = mod["weight"], mod["bias"]
+    return style @ (w * (1.0 / np.sqrt(w.shape[0]))) + b
+
+
+def _conv_weight(node, style, demodulate=True):
+    """(Cin, Cout) modulated weight for one sample from a StyledConv/ToRGB
+    conv node {weight (1,1,Cin,Cout), modulation {...}}."""
+    s = _mod_style(node["modulation"], style)
+    return modulate_weights_1x1(node["weight"][0, 0], s, demodulate=demodulate)[0]
+
+
+def _matmul_img(x, w, dtype):
+    """(1, H, W, Cin) @ (Cin, Cout), bf16-in/fp32-acc when dtype is bf16."""
+    b, h, ww, c = x.shape
+    y = jnp.dot(
+        x.reshape(-1, c).astype(dtype),
+        w.astype(dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(b, h, ww, -1)
+
+
+def decoder_fused_apply(
+    dec_params,
+    features,  # (1, H, W, in_channel) renderer feature map
+    styles,  # (1, n_latent, style_dim)
+    noise,  # list[num_layers] of (1, h, w, 1) buffers (required)
+    *,
+    upsample_list,
+    size_start: int = 4,
+    size_end: int = 1024,
+    channel_multiplier: int = 2,
+    dtype=jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Fused-decoder forward; mirrors models.Decoder.__call__ exactly for
+    batch 1, kernel_size 1, explicit noise. Returns rgb (1, H*up, W*up, 3)."""
+    assert features.shape[0] == 1, "fused decoder is the batch-1 serving path"
+    channels = channel_table(channel_multiplier)
+    log_in = int(math.log2(size_start))
+    log_out = int(math.log2(size_end))
+    n_latent = (log_out - log_in) * 2 + 2
+    assert styles.shape[1] == n_latent, styles.shape
+    assert noise is not None and len(noise) == (log_out - log_in) * 2 + 1
+
+    dt = jnp.dtype(dtype)
+
+    def styled_conv(node, x, style, nbuf):
+        w = _conv_weight(node["conv"], style)
+        y = _matmul_img(x, w, dt)
+        y = y + node["noise"]["weight"].reshape(()) * nbuf
+        return fused_leaky_relu(y, node["act_bias"])
+
+    def to_rgb(node, x, style, skip, up):
+        w = _conv_weight(node["conv"], style, demodulate=False)
+        out = _matmul_img(x, w, dt).astype(jnp.float32) + node["bias"]
+        if skip is not None:
+            if up:
+                skip = upsample2x(skip)
+            out = out + skip
+        return out
+
+    x = styled_conv(dec_params["conv1"], features.astype(jnp.float32),
+                    styles[:, 0], noise[0])
+    skip = to_rgb(dec_params["to_rgb1"], x, styles[:, 1], None, False)
+
+    layer_i, noise_i, block = 1, 1, 0
+    for i in range(log_in + 1, log_out + 1):
+        res = 2**i
+        up = res in upsample_list
+        ca = dec_params[f"convs_{2 * block}"]
+        cb = dec_params[f"convs_{2 * block + 1}"]
+        if up:
+            # fused block: conv_a matmul at the previous resolution (XLA),
+            # then upsample+noise+act+conv_b+noise+act in one kernel pass
+            wa = _conv_weight(ca["conv"], styles[:, layer_i])
+            y1 = _matmul_img(x, wa, dt)
+            wb = _conv_weight(cb["conv"], styles[:, layer_i + 1])
+            hp = y1.shape[1]
+            feat = decoder_block_packed(
+                y1[0],
+                noise[noise_i][0],
+                noise[noise_i + 1][0],
+                wb,
+                ca["act_bias"],
+                cb["act_bias"],
+                ca["noise"]["weight"].reshape(()),
+                cb["noise"]["weight"].reshape(()),
+                t_rows=min(8, hp),
+                interpret=interpret,
+                out_dtype=dt,
+            )
+            x = feat[None]
+        else:
+            x = styled_conv(ca, x, styles[:, layer_i], noise[noise_i])
+            x = styled_conv(cb, x, styles[:, layer_i + 1], noise[noise_i + 1])
+        skip = to_rgb(
+            dec_params[f"to_rgbs_{block}"], x, styles[:, layer_i + 2], skip, up
+        )
+        layer_i += 2
+        noise_i += 2
+        block += 1
+
+    return skip.astype(jnp.float32)

@@ -79,14 +79,17 @@ class VolumeFeatureRenderer(nn.Module):
             and self.with_sdf
             and jax.default_backend() == "tpu"  # Pallas TPU kernel only
         ):
-            from ..kernels.siren_render import siren_render_fused
+            # siren_render is the custom_vjp wrapper: Pallas forward, exact
+            # XLA backward — so fused=True is safe under jax.grad too
+            # (inversion, non-eikonal G passes), not just inference.
+            from ..kernels.siren_render import siren_render
 
             rp = self.variables["params"]
             near_s = near.reshape(-1)[0]
             far_s = far.reshape(-1)[0]
 
             def one(styles_i, pts_i, viewdirs_i, z_vals_i, rays_d_i):
-                return siren_render_fused(
+                return siren_render(
                     rp, styles_i, pts_i, viewdirs_i, z_vals_i, rays_d_i,
                     near_s, far_s,
                 )

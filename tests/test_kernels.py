@@ -170,3 +170,78 @@ def test_siren_render_custom_vjp(setup):
         assert np.isfinite(a).all()
         denom = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 0.1
+
+
+@pytest.mark.parametrize("c", [32, 64, 128])
+def test_decoder_block_packed_parity(c):
+    """Packed-lane decoder block kernel (interpret mode) vs jnp oracle —
+    the narrow-channel (C=32/64) layout is the round-2 unblock."""
+    from cips3dpp_tpu.kernels.decoder_block import (
+        decoder_block_packed,
+        decoder_block_packed_reference,
+    )
+
+    hp = wp = 16
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 6)
+    y1 = jax.random.normal(ks[0], (hp, wp, c))
+    noise1 = jax.random.normal(ks[1], (2 * hp, 2 * wp, 1))
+    noise2 = jax.random.normal(ks[2], (2 * hp, 2 * wp, 1))
+    w2 = jax.random.normal(ks[3], (c, c)) / np.sqrt(c)
+    b1 = jax.random.normal(ks[4], (c,)) * 0.1
+    b2 = jax.random.normal(ks[5], (c,)) * 0.1
+
+    out = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2,
+        t_rows=8, interpret=True,
+    )
+    ref = decoder_block_packed_reference(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2
+    )
+    assert out.shape == (2 * hp, 2 * wp, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-3)
+    # upsample/noise/bias path must be exact (fp32 end-to-end): zero conv
+    zero = decoder_block_packed(
+        y1, noise1, noise2, jnp.zeros((c, c)), b1, jnp.zeros((c,)),
+        0.3, 0.0, t_rows=8, interpret=True,
+    )
+    zref = decoder_block_packed_reference(
+        y1, noise1, noise2, jnp.zeros((c, c)), b1, jnp.zeros((c,)), 0.3, 0.0
+    )
+    np.testing.assert_allclose(np.asarray(zero), np.asarray(zref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_decoder_fused_apply_parity():
+    """Full fused serving decoder (interpret mode) vs the flax Decoder on
+    the real flagship channel schedule at 1/8 spatial size."""
+    from cips3dpp_tpu.models.decoder import Decoder
+    from cips3dpp_tpu.kernels.decoder_fused import decoder_fused_apply
+
+    dec = Decoder(
+        size_start=4, size_end=1024, in_channel=64, channel_multiplier=2,
+        kernel_size=1, upsample_list=(128, 256, 512, 1024),
+    )
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64))
+    styles = jax.random.normal(jax.random.PRNGKey(2), (1, dec.n_latent, 512))
+    noise = dec.make_noise(jax.random.PRNGKey(3), 8)
+    variables = dec.init(key, feats, styles, noise)
+
+    ref = dec.apply(variables, feats, styles, noise)
+    out = decoder_fused_apply(
+        variables["params"], feats, styles, noise,
+        upsample_list=(128, 256, 512, 1024),
+        dtype=jnp.float32, interpret=True,
+    )
+    assert out.shape == ref.shape == (1, 128, 128, 3)
+    # conv2-of-upsample-blocks rounds to bf16 inside the kernel; everything
+    # else is fp32 — tolerances sized to the bf16 matmul noise
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    # median error stays at the bf16-rounding scale (the fp32-path flax
+    # reference has no bf16 rounding on CPU; on TPU both paths round)
+    assert float(np.median(err)) < 1.5e-2
