@@ -73,6 +73,7 @@ def main():
             near=cam.near,
             far=cam.far,
             fused_renderer=fused,
+            fused_decoder=fused,
             rngs={"perturb": k1, "noise": k2},
         )
         return out["rgb"]

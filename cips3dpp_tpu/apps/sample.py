@@ -166,6 +166,7 @@ def make_frame_renderer(model, params, *, ray_chunk=None, fused=False):
             perturb=False,
             ray_chunk=ray_chunk,
             fused_renderer=fused,
+            fused_decoder=fused,
         )
         return out["rgb"], out["thumb_rgb"], out["depth"], out["xyz"]
 

@@ -295,7 +295,9 @@ def _packed_kernel(
         n2_ref[:].reshape(2 * t * 2 * wb, p), en_ref[:],
         preferred_element_type=jnp.float32,
     ).reshape(2 * t, 2 * wb, l)
-    feat_ref[:] = lrelu(h2 + nw_ref[0, 1] * n2 + b2_ref[:])
+    feat_ref[:] = lrelu(h2 + nw_ref[0, 1] * n2 + b2_ref[:]).astype(
+        feat_ref.dtype
+    )
 
 
 @functools.partial(

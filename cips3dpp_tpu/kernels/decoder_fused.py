@@ -63,6 +63,10 @@ def decoder_fused_apply(
     channel_multiplier: int = 2,
     dtype=jnp.bfloat16,
     interpret: bool = False,
+    fuse_res=None,  # resolutions whose up-block runs the Pallas kernel;
+    # None -> all of upsample_list. Unfused up-blocks run the identical
+    # XLA math (shift-add upsample2x + matmuls), so fuse_res only moves
+    # the XLA/kernel boundary, never the numerics contract.
 ):
     """Fused-decoder forward; mirrors models.Decoder.__call__ exactly for
     batch 1, kernel_size 1, explicit noise. Returns rgb (1, H*up, W*up, 3)."""
@@ -95,13 +99,28 @@ def decoder_fused_apply(
                     styles[:, 0], noise[0])
     skip = to_rgb(dec_params["to_rgb1"], x, styles[:, 1], None, False)
 
+    if fuse_res is None:
+        fuse_res = tuple(upsample_list)
+
     layer_i, noise_i, block = 1, 1, 0
     for i in range(log_in + 1, log_out + 1):
         res = 2**i
         up = res in upsample_list
         ca = dec_params[f"convs_{2 * block}"]
         cb = dec_params[f"convs_{2 * block + 1}"]
-        if up:
+        if up and res not in fuse_res:
+            # XLA up-block: same decomposition as the kernel (matmul at the
+            # previous resolution, shift-add separable 2x upsample, noise,
+            # act, conv_b) — XLA's fusion handles the wide-channel blocks
+            # well; the kernel wins only on the narrow-channel (C<128)
+            # late blocks where lane padding breaks XLA's tiling.
+            wa = _conv_weight(ca["conv"], styles[:, layer_i])
+            y1 = _matmul_img(x, wa, dt)
+            h = upsample2x(y1)
+            h = h + ca["noise"]["weight"].reshape(()) * noise[noise_i]
+            h = fused_leaky_relu(h, ca["act_bias"])
+            x = styled_conv(cb, h, styles[:, layer_i + 1], noise[noise_i + 1])
+        elif up:
             # fused block: conv_a matmul at the previous resolution (XLA),
             # then upsample+noise+act+conv_b+noise+act in one kernel pass
             wa = _conv_weight(ca["conv"], styles[:, layer_i])

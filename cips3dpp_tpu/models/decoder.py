@@ -39,6 +39,12 @@ class Decoder(nn.Module):
     dtype: str = "float32"
     # dtype of the RGB skip accumulation; fp32 default (see ToRGB)
     skip_dtype: str = "float32"
+    # Per-layer rematerialisation: backward recomputes each StyledConv's
+    # internals (upsample buffer, noise add, pre-activation) instead of
+    # keeping them live — the 1024^2 maps dominate G-step training memory.
+    # Replaces the reference's N_rays_grad chunking (model_v3.py:1099-1199)
+    # with a compiler-level memory/FLOPs trade.
+    remat: bool = False
 
     @property
     def log_in_size(self):
@@ -95,7 +101,8 @@ class Decoder(nn.Module):
         features = features.astype(dtype)
         noise = [None if n is None else n.astype(dtype) for n in noise]
 
-        out = StyledConv(
+        SC = nn.remat(StyledConv) if self.remat else StyledConv
+        out = SC(
             self.channels_for(self.size_start),
             self.kernel_size,
             blur_kernel=self.blur_kernel,
@@ -111,14 +118,14 @@ class Decoder(nn.Module):
             res = 2**i
             up = res in self.upsample_list
             out_ch = self.channels_for(res)
-            out = StyledConv(
+            out = SC(
                 out_ch,
                 self.kernel_size,
                 upsample=up,
                 blur_kernel=self.blur_kernel,
                 name=f"convs_{2 * block}",
             )(out, styles[:, layer_i], noise[noise_i])
-            out = StyledConv(
+            out = SC(
                 out_ch,
                 self.kernel_size,
                 blur_kernel=self.blur_kernel,

@@ -60,6 +60,7 @@ class DecoderConfig:
     mapping_lr_mul: float = 0.01
     dtype: str = "float32"  # conv compute dtype; "bfloat16" for serving
     skip_dtype: str = "float32"  # RGB skip-chain dtype (see layers.ToRGB)
+    remat: bool = False  # per-layer remat (training memory; decoder.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,6 +179,7 @@ class Generator(nn.Module):
             upsample_list=tuple(c.decoder.upsample_list),
             dtype=c.decoder.dtype,
             skip_dtype=c.decoder.skip_dtype,
+            remat=c.decoder.remat,
         )
 
     # ----- mapping networks ------------------------------------------------
@@ -251,6 +253,7 @@ class Generator(nn.Module):
         path_reg: bool = False,
         sample_idx: tuple | None = None,  # (idx_h (B,hs), idx_w (B,ws))
         fused_renderer: bool = False,  # Pallas fast path (inference)
+        fused_decoder: bool = False,  # Pallas packed decoder (B=1 serving)
     ):
         c = self.cfg
         img_size = img_size or c.img_size
@@ -329,7 +332,37 @@ class Generator(nn.Module):
             features = jax.lax.stop_gradient(features)
 
         if self.cfg.enable_decoder:
-            rgb = self.decoder(features, style_decoder, noise=noise_bufs)
+            use_fused_dec = (
+                fused_decoder
+                and b == 1
+                and c.decoder.kernel_size == 1
+                and jax.default_backend() == "tpu"
+                and not self.is_initializing()
+            )
+            if use_fused_dec:
+                # Pallas packed serving decoder (kernels/decoder_fused.py):
+                # one kernel pass per upsample block instead of XLA's ~11
+                # fusions over the 1024^2 activation maps. Weight-parity
+                # with the flax Decoder; bf16-matmul numerics.
+                from ..kernels.decoder_fused import decoder_fused_apply
+
+                if noise_bufs is None:
+                    noise_bufs = self.decoder.make_noise(
+                        self.make_rng("noise"), features.shape[1]
+                    )
+                rgb = decoder_fused_apply(
+                    self.variables["params"]["decoder"],
+                    features,
+                    style_decoder,
+                    noise_bufs,
+                    upsample_list=tuple(c.decoder.upsample_list),
+                    size_start=c.decoder.size_start,
+                    size_end=c.decoder.size_end,
+                    channel_multiplier=c.decoder.channel_multiplier,
+                    dtype=jnp.dtype(c.decoder.dtype),
+                )
+            else:
+                rgb = self.decoder(features, style_decoder, noise=noise_bufs)
         else:
             rgb = thumb_rgb
 

@@ -80,6 +80,12 @@ class TrainConfig:
     # compute dtype for both discriminators ("bfloat16" halves D HBM traffic;
     # logits/losses stay fp32 at the heads)
     d_dtype: str = "float32"
+    # Lazy-R1 gradient accumulation over real-batch chunks of this size
+    # (None = whole batch at once). The R1 grad-of-grad at 1024^2 is the
+    # d_step memory peak; mean-of-chunk-means is algebraically identical and
+    # bounds the peak at one chunk — the TPU form of the reference's `chunk`
+    # splitting (train_cips3d_ffhq_v10.yaml:182, train_v10.py:173).
+    d_r1_chunk: int | None = None
 
 
 def _g_label_tree(params):

@@ -184,6 +184,21 @@ def make_train_steps(
     def d_step(state: TrainState, real_imgs, rng, alpha, d_regularize: bool):
         """update_D (train_v10.py:136-241): one fused D-render + D-decoder
         update on fakes from the current G."""
+        # Chunked lazy-R1 (memory): compute the R1 gradient separately by
+        # accumulating over real-batch chunks; grad(gan) + grad(r1) equals
+        # the fused gradient, and the mean over the batch equals the mean of
+        # equal-chunk means. Peak HBM for the grad-of-grad drops to one
+        # chunk's working set (reference analog: `chunk`, train_v10.py:173).
+        r1_chunked = (
+            cfg.d_r1_chunk
+            if (
+                cfg.d_r1_chunk is not None
+                and gen_cfg.enable_decoder
+                and d_regularize
+                and cfg.d_r1_chunk < real_imgs.shape[0]
+            )
+            else None
+        )
         k_in, k_g, k_idx, k_a1, k_a2, k_a3 = jax.random.split(rng, 6)
         zs, cam = _sample_inputs(k_in, real_imgs.shape[0], gen_cfg, mesh)
         sample_idx = _maybe_sample_idx(k_idx, real_imgs.shape[0])
@@ -226,7 +241,7 @@ def make_train_steps(
                 fake_pred = dd(params_d, fake_rgb, k_a1)
                 real_pred = dd(params_d, real_imgs, k_a2)
                 d_gan = d_logistic_loss(real_pred, fake_pred)
-                if d_regularize:
+                if d_regularize and r1_chunked is None:
                     r1_d = (
                         cfg.lambda_gp
                         * 0.5
@@ -259,6 +274,35 @@ def make_train_steps(
         (loss, metrics), (gd, gdr) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params_d, state.params_d_render)
+
+        if r1_chunked is not None:
+            b = real_imgs.shape[0]
+            assert b % r1_chunked == 0, (b, r1_chunked)
+            nc = b // r1_chunked
+            chunks = real_imgs.reshape(nc, r1_chunked, *real_imgs.shape[1:])
+            coef = cfg.lambda_gp * 0.5 * cfg.d_reg_every
+            ddr1 = (
+                jax.checkpoint(lambda p, x, k: dd_apply(p, x, alpha, k))
+                if cfg.remat_d
+                else (lambda p, x, k: dd_apply(p, x, alpha, k))
+            )
+
+            def r1_loss(p, imgs):
+                return coef * r1_penalty(lambda x: ddr1(p, x, k_a3), imgs)
+
+            def body(acc, chunk):
+                acc_g, acc_v = acc
+                val, g = jax.value_and_grad(r1_loss)(state.params_d, chunk)
+                acc_g = jax.tree.map(lambda a, gi: a + gi / nc, acc_g, g)
+                return (acc_g, acc_v + val / nc), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, gd)
+            (r1_g, r1_val), _ = jax.lax.scan(
+                body, (zero_g, jnp.zeros(())), chunks
+            )
+            gd = jax.tree.map(jnp.add, gd, r1_g)
+            loss = loss + r1_val
+            metrics["d_loss_gp_decoder"] = r1_val
 
         upd_d, opt_d = tx_d.update(gd, state.opt_d, state.params_d)
         upd_dr, opt_dr = tx_dr.update(gdr, state.opt_d_render, state.params_d_render)

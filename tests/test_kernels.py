@@ -245,3 +245,33 @@ def test_decoder_fused_apply_parity():
     # median error stays at the bf16-rounding scale (the fp32-path flax
     # reference has no bf16 rounding on CPU; on TPU both paths round)
     assert float(np.median(err)) < 1.5e-2
+
+
+def test_decoder_fused_apply_fuse_res_subset():
+    """fuse_res moves the XLA/kernel boundary only: a narrow-only subset
+    (kernel for the late blocks, XLA math for the wide ones) must match the
+    flax Decoder exactly as tightly as fuse-everything."""
+    from cips3dpp_tpu.models.decoder import Decoder
+    from cips3dpp_tpu.kernels.decoder_fused import decoder_fused_apply
+
+    dec = Decoder(
+        size_start=4, size_end=1024, in_channel=64, channel_multiplier=2,
+        kernel_size=1, upsample_list=(128, 256, 512, 1024),
+    )
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64))
+    styles = jax.random.normal(jax.random.PRNGKey(2), (1, dec.n_latent, 512))
+    noise = dec.make_noise(jax.random.PRNGKey(3), 8)
+    variables = dec.init(key, feats, styles, noise)
+    ref = dec.apply(variables, feats, styles, noise)
+
+    out = decoder_fused_apply(
+        variables["params"], feats, styles, noise,
+        upsample_list=(128, 256, 512, 1024), fuse_res=(512, 1024),
+        dtype=jnp.float32, interpret=True,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+    assert float(np.median(np.abs(np.asarray(out) - np.asarray(ref)))) < 1.5e-2

@@ -328,3 +328,61 @@ def test_bf16_discriminator_steps_run():
     assert float(dm["d_loss_gp_decoder"]) > 0
     state, gm = g_step(state, jax.random.PRNGKey(4), 1.0)
     assert np.isfinite(float(gm["g_loss_total"]))
+
+
+def test_chunked_r1_matches_full_batch():
+    """d_r1_chunk accumulates grad(R1) over real-batch chunks; the update
+    must match the fused single-pass R1 (mean of equal-chunk means ==
+    batch mean; grad(gan)+grad(r1) == grad(gan+r1))."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    gen = Generator(gen_cfg)
+    d_dec = DStyleGANProgressive(input_size=1024, channel_multiplier=1)
+    d_ren = DVolumeRenderProgressive(input_size=64)
+
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=gen_cfg.img_size)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    out = gen_cfg.img_size * 2 ** len(gen_cfg.decoder.upsample_list)
+
+    def g_init(k):
+        return gen.init(
+            {"params": k, "perturb": k, "noise": k},
+            zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+            near=cam.near, far=cam.far,
+        )
+
+    def d_init(k):
+        return d_dec.init(k, jnp.zeros((2, out, out, 3)))
+
+    def dr_init(k):
+        return d_ren.init(k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3)))
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, out, out, 3)) * 0.1
+    results = []
+    for chunk in (None, 2):
+        cfg_i = TrainConfig(
+            batch=4, gen_img_size=out, cam_img_size=gen_cfg.img_size,
+            data_img_size=out, d_r1_chunk=chunk,
+        )
+        state, txs = create_train_state(key, gen_cfg, cfg_i, d_init, dr_init, g_init)
+        d_step = make_train_steps(gen, d_dec, d_ren, gen_cfg, cfg_i, txs)[0]
+        s2, m = d_step(state, real, jax.random.PRNGKey(3), 1.0, d_regularize=True)
+        results.append((s2, m))
+    (s_full, m_full), (s_chunk, m_chunk) = results
+    np.testing.assert_allclose(
+        float(m_full["d_loss_gp_decoder"]),
+        float(m_chunk["d_loss_gp_decoder"]), rtol=1e-3,
+    )
+    # Post-Adam params: with b1=0 the first-step update is ~sign(g)*lr, so
+    # fp-level grad differences flip signs exactly where g ~ 0. Bound the
+    # worst case by one update magnitude and require near-exactness for the
+    # overwhelming majority of parameters.
+    lr_bound = 3.0 * 2e-3  # ~update magnitude at lr_decoder
+    total = mismatched = 0
+    for a, b in zip(jax.tree.leaves(s_full.params_d),
+                    jax.tree.leaves(s_chunk.params_d)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < lr_bound
+        mismatched += int((d > 1e-5).sum())
+        total += d.size
+    assert mismatched / total < 0.02, (mismatched, total)
