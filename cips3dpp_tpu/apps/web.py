@@ -2,20 +2,103 @@
 
 The reference wraps every inference workflow in Streamlit pages launched by
 unittest-method launchers (exp/cips3d/models/render_video_web_v10.py +
-tl2 run_web). Here the same workflows are importable pure functions
-(apps/sample.py, apps/inversion.py) and the UI is a thin optional layer:
+tl2 run_web: sample multi-view, fixed-zs grids, z/decoder interpolation,
+style mixing, projector inversion, inverted multi-view, flip inversion,
+mesh depth video). Here each workflow is a CLI subcommand over importable
+pure functions (apps/cli.py -> apps/sample.py / apps/inversion.py), and the
+UI is a thin optional layer that builds the equivalent CLI argv and renders
+the produced videos/grids:
 
     pip install streamlit   # not bundled
-    streamlit run -m cips3dpp_tpu.apps.web -- --cfg configs/ffhq.yaml \
-        --section sample_multi_view
+    streamlit run -m cips3dpp_tpu.apps.web -- --cfg configs/ffhq.yaml
 
-Every mode is equally reachable headless through apps/cli.py; the UI adds
-interactive sliders for truncation / trajectory / seeds and live previews.
+Every mode stays equally reachable headless through apps/cli.py.
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
+
+# mode -> (cli command, [(arg-name, kind, default)]) where kind selects the
+# streamlit widget: int / float / str(choices tuple) / flag / path
+MODES = {
+    "sample_multi_view": (
+        "sample-multi-view",
+        [
+            ("view-mode", ("yaw", "circle", "translate_rotate"), None),
+            ("n-frames", int, 16),
+            ("truncation", float, 0.7),
+            ("zero-noise", "flag", False),
+            ("project-noise", "flag", False),
+            ("fused", "flag", False),
+        ],
+    ),
+    "fixed_zs_multi_view": (
+        "fixed-zs-multi-view",
+        [
+            ("view-mode", ("circle", "elev_circle", "yaw"), None),
+            ("n-zs", int, 4),
+            ("n-frames", int, 16),
+            ("truncation", float, 0.7),
+        ],
+    ),
+    "interpolate_z": (
+        "interpolate-z",
+        [("n-frames", int, 16), ("truncation", float, 0.7)],
+    ),
+    "style_mixing": (
+        "style-mixing",
+        [("n-rows", int, 3), ("n-cols", int, 3)],
+    ),
+    "interpolate_decoder": (
+        "interpolate-decoder",
+        [("ckpt-b", "path", ""), ("n-frames", int, 1)],
+    ),
+    "invert": (
+        "invert",
+        [
+            ("image", "path", ""),
+            ("cam-param", ("angles", "axis_angle"), None),
+        ],
+    ),
+    "render_inverted": (
+        "render-inverted",
+        [("inversion", "path", ""), ("n-frames", int, 16)],
+    ),
+    "lerp_inversions": (
+        "lerp-inversions",
+        [("inversions", "paths", ""), ("n-interp", int, 12)],
+    ),
+    "extract_shape": (
+        "extract-shape",
+        [("resolution", int, 128)],
+    ),
+}
+
+
+def build_argv(mode: str, values: dict, cfg_path: str | None,
+               section: str | None, outdir: str, seed: int) -> list[str]:
+    """Build the apps/cli.py argv equivalent of one web-form submission.
+    Pure (testable without streamlit); flags appear only when truthy."""
+    cmd, spec = MODES[mode]
+    argv = [cmd, "--outdir", outdir, "--seed", str(seed)]
+    if cfg_path:
+        argv += ["--cfg", cfg_path]
+    if section:
+        argv += ["--section", section]
+    for name, kind, default in spec:
+        v = values.get(name, default)
+        if kind == "flag":
+            if v:
+                argv.append(f"--{name}")
+        elif kind == "paths":
+            if v:
+                argv += [f"--{name}", *str(v).split()]
+        elif v is not None and v != "":
+            argv += [f"--{name}", str(v)]
+    return argv
 
 
 def main():
@@ -30,93 +113,57 @@ def main():
         return 1
 
     import argparse
+    import tempfile
 
-    import numpy as np
-    import jax
-
-    from ..io.config import load_command_config, apply_overrides
-    from .cli import _build_generator, _load_params
-    from .sample import (
-        yaw_trajectory,
-        circle_trajectory,
-        translate_rotate_trajectory,
-        render_trajectory,
-        style_mixing_grid,
-    )
+    from . import cli
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--cfg", type=str, default=None)
     parser.add_argument("--section", type=str, default=None)
-    parser.add_argument("--opts", nargs="*", default=[])
     args = parser.parse_args()
-
-    cfg = {}
-    if args.cfg:
-        cfg = apply_overrides(
-            load_command_config(args.cfg, args.section), args.opts
-        )
 
     st.set_page_config(page_title="CIPS-3D++ TPU")
     st.title("CIPS-3D++ TPU")
 
-    mode = st.sidebar.selectbox(
-        "mode", ["multi_view", "style_mixing"], index=0
-    )
+    mode = st.sidebar.selectbox("mode", list(MODES), index=0)
     seed = int(st.sidebar.number_input("seed", value=0, step=1))
-    truncation = float(st.sidebar.slider("truncation", 0.0, 1.0, 0.7))
 
-    @st.cache_resource
-    def get_model():
-        model, gcfg = _build_generator(cfg)
-        params = _load_params(model, gcfg, cfg)
-        means = model.apply(
-            params, jax.random.PRNGKey(2), 10_000, method="mean_latents"
-        )
-        return model, gcfg, params, means
-
-    model, gcfg, params, means = get_model()
-
-    def to_u8(img):
-        return ((np.clip(img, -1, 1) + 1) * 127.5).astype(np.uint8)
-
-    if mode == "multi_view":
-        view_mode = st.sidebar.selectbox(
-            "view_mode", ["yaw", "circle", "translate_rotate"]
-        )
-        n_frames = int(st.sidebar.number_input("N_frames", value=16, step=4))
-        if st.button("render"):
-            key = jax.random.PRNGKey(seed)
-            k1, k2 = jax.random.split(key)
-            zs = (
-                jax.random.normal(k1, (1, gcfg.mapping.z_dim)),
-                jax.random.normal(k2, (1, gcfg.mapping.z_dim)),
+    values = {}
+    for name, kind, default in MODES[mode][1]:
+        if kind == "flag":
+            values[name] = st.sidebar.checkbox(name, value=bool(default))
+        elif kind is int:
+            values[name] = int(
+                st.sidebar.number_input(name, value=int(default), step=1)
             )
-            traj = {
-                "yaw": yaw_trajectory,
-                "circle": circle_trajectory,
-                "translate_rotate": translate_rotate_trajectory,
-            }[view_mode](n_frames, gcfg.img_size)
-            out = render_trajectory(
-                model, params, zs, traj, truncation=truncation,
-                mean_latents=means,
+        elif kind is float:
+            values[name] = float(
+                st.sidebar.slider(name, 0.0, 1.0, float(default))
             )
-            st.image([to_u8(f) for f in out["rgb"][:: max(1, n_frames // 8)]])
-    else:
-        rows = int(st.sidebar.number_input("rows", value=3, step=1))
-        cols = int(st.sidebar.number_input("cols", value=3, step=1))
-        if st.button("render grid"):
-            from ..core.camera import camera_from_angles
-            import jax.numpy as jnp
+        elif kind in ("path", "paths"):
+            values[name] = st.sidebar.text_input(name, value=str(default))
+        else:  # choices tuple
+            values[name] = st.sidebar.selectbox(name, list(kind))
 
-            cam = camera_from_angles(
-                jnp.zeros(1), jnp.zeros(1), gcfg.img_size,
-                fov_ang=gcfg.fov_ang, dist_radius=gcfg.dist_radius,
-            )
-            grid = style_mixing_grid(
-                model, params, jax.random.PRNGKey(seed), rows, cols, cam,
-                truncation=truncation, mean_latents=means,
-            )
-            st.image(to_u8(grid))
+    if st.button("run"):
+        outdir = tempfile.mkdtemp(prefix=f"web_{mode}_")
+        argv = build_argv(mode, values, args.cfg, args.section, outdir, seed)
+        st.code("cli " + " ".join(argv))
+        with st.spinner("rendering..."):
+            cli.main(argv)
+        shown = False
+        for fname in sorted(os.listdir(outdir)):
+            fp = os.path.join(outdir, fname)
+            if fname.endswith(".mp4"):
+                st.video(fp)
+                shown = True
+            elif fname.endswith((".png", ".jpg")):
+                st.image(fp)
+                shown = True
+            elif fname.endswith(".json"):
+                st.json(json.load(open(fp)))
+        if not shown:
+            st.write(f"outputs in {outdir}: {os.listdir(outdir)}")
     return 0
 
 

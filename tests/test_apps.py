@@ -164,3 +164,33 @@ def test_flip_inversion_axis_angle(tiny_gen):
     assert np.isfinite(report["psnr"]) and np.isfinite(report["lpips"])
     # camera params moved during the pose phase
     assert float(jnp.abs(state.elev - jnp.asarray([[0.0, 0.0, 1.0]])).max()) > 0
+
+
+def test_web_mode_argv_matches_cli_surface():
+    """The web UI delegates to apps/cli.py via argv; every mode's command
+    must exist in the dispatch table and every arg it emits must be a
+    declared option of that command's parser (checked against source)."""
+    import inspect
+    from cips3dpp_tpu.apps import web, cli
+
+    for mode, (cmd, spec) in web.MODES.items():
+        assert cmd in cli.COMMANDS, (mode, cmd)
+        src = inspect.getsource(cli.COMMANDS[cmd])
+        # _base_parser provides the shared options
+        base_src = inspect.getsource(cli._base_parser)
+        values = {}
+        for name, kind, default in spec:
+            if kind == "flag":
+                values[name] = True
+            elif kind is int or kind is float:
+                values[name] = default
+            elif kind in ("path", "paths"):
+                values[name] = "/tmp/a.pkl /tmp/b.pkl" if kind == "paths" else "/tmp/a"
+            else:
+                values[name] = kind[0]
+        argv = web.build_argv(mode, values, "cfg.yaml", "sec", "/tmp/o", 0)
+        assert argv[0] == cmd
+        for tok in argv[1:]:
+            if tok.startswith("--"):
+                assert f'"{tok}"' in src or f'"{tok}"' in base_src, (
+                    mode, cmd, tok)
