@@ -58,13 +58,20 @@ def main():
         )
     )(key)
 
-    def render_frame(params, z0, z1, azim, elev, rng):
+    # Noise buffers are created ONCE per trajectory and ray perturbation is
+    # off — exactly the reference's multi-view app semantics
+    # (render_video_web_v10.py:1792-1794 create_noise_bufs per video;
+    # :1726 nerf_cfg.perturb = False).
+    noise_bufs = model.bind(params).decoder.make_noise(
+        jax.random.PRNGKey(7), cfg.img_size
+    )
+
+    def render_frame(params, z0, z1, azim, elev):
         """One multi-view frame, batch 1, N_samples 24 — the reference's
         rendering-time semantics (render_video_web_v10.py:1806-1824)."""
         cam = camera_from_angles(
             azim, elev, cfg.img_size, fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius
         )
-        k1, k2 = jax.random.split(rng)
         out = model.apply(
             params,
             zs=(z0, z1),
@@ -72,9 +79,10 @@ def main():
             focals=cam.focal,
             near=cam.near,
             far=cam.far,
+            perturb=False,
+            noise_bufs=noise_bufs,
             fused_renderer=fused,
             fused_decoder=fused,
-            rngs={"perturb": k1, "noise": k2},
         )
         return out["rgb"]
 
@@ -89,26 +97,24 @@ def main():
     n_frames = int(args[0]) if args else 128
 
     @jax.jit
-    def render_traj(params, z0, z1, azims, rngs):
-        def body(carry, inp):
-            az, rng = inp
-            rgb = render_frame(params, z0, z1, az, jnp.zeros((1,)), rng)
-            return carry + rgb.mean(), None
+    def render_traj(params, z0, z1, azims):
+        def body(carry, az):
+            rgb = render_frame(params, z0, z1, az, jnp.zeros((1,)))
+            return carry + rgb.astype(jnp.float32).mean(), None
 
-        checksum, _ = jax.lax.scan(body, jnp.zeros(()), (azims, rngs))
+        checksum, _ = jax.lax.scan(body, jnp.zeros(()), azims)
         return checksum
 
     yaw = jnp.linspace(-0.3, 0.3, n_frames).reshape(-1, 1)
 
     # warmup/compile
-    keys = jax.random.split(jax.random.PRNGKey(3), n_frames)
-    float(render_traj(params, zs[0], zs[1], yaw, keys))
+    float(render_traj(params, zs[0], zs[1], yaw))
 
     reps = 3
     t0 = time.perf_counter()
     for r in range(reps):
-        keys = jax.random.split(jax.random.PRNGKey(100 + r), n_frames)
-        float(render_traj(params, zs[0], zs[1], yaw, keys))
+        yaw_r = yaw + 1e-4 * r  # distinct host input per rep, same traced fn
+        float(render_traj(params, zs[0], zs[1], yaw_r))
     dt = (time.perf_counter() - t0) / reps
 
     fps = n_frames / dt

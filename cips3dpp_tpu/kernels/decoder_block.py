@@ -175,8 +175,21 @@ def decoder_block_fused(
     return feat, rgb
 
 
-# ===================================================================== v2 ==
+# ================================================================== v2/v3 ==
 # Packed-lane decoder block: solves the Mosaic narrow-channel blocker.
+#
+# v3 additions (serving roofline work, guided by a jax.profiler trace):
+#   - the row halo is fetched in-kernel from two single-row neighbor blocks
+#     (program_id-masked at the image edges) instead of three host-side
+#     row-shifted copies of y1 — removing ~2x of the kernel's input traffic
+#     plus the XLA copy/relayout passes that materialised the shifts;
+#   - the column-upsample lane maps can run the MXU in bf16 (colup_dtype):
+#     the 0/0.25/0.75 entries are bf16-exact, so the only rounding is one
+#     bf16 cast of the activations (serving default; fp32 stays available
+#     and exact for the strict-parity tests);
+#   - ToRGB is folded in (wrgb != None): rgb = stored-feat @ kron(I_P, wrgb)
+#     written as a packed 2D (rows, 3P) output, and emit_feat=False elides
+#     the feature store for the final block whose features feed only ToRGB.
 #
 # The late decoder blocks have C = 64/32 channels; a (rows, W, C) VMEM tile
 # pads the lane dim to 128, wasting 2-4x VMEM and vector throughput. v2
@@ -245,37 +258,59 @@ def _mxu(a, b):
 
 
 def _packed_kernel(
-    yp_ref, yc_ref, yn_ref,  # (T, Wb, L) row-shifted packed conv1 outputs
+    yc_ref,  # (T, Wb, L) current packed conv1 tile
+    yhp_ref,  # (1, Wb, L) halo row ABOVE the tile (clamped at i=0)
+    yhn_ref,  # (1, Wb, L) halo row BELOW the tile (clamped at i=G-1)
     n1_ref,  # (2T, 2Wb, P) packed noise 1
     n2_ref,  # (2T, 2Wb, P)
-    ep_ref, ec_ref, oc_ref, on_ref,  # (L, L) col-upsample maps (fp32)
+    ep_ref, ec_ref, oc_ref, on_ref,  # (L, L) col-upsample maps
     en_ref,  # (P, L) noise expander
     w2p_ref,  # (L, L) kron(I_P, w2)
     b1_ref, b2_ref,  # (1, L) tiled biases
     nw_ref,  # (1, 2) noise weights (SMEM)
-    feat_ref,  # out (2T, 2Wb, L)
+    *rest,  # [wrgbp_ref (L, 3P)] if emit_rgb, then the out refs:
+    # feat (2T, 2Wb, L) if emit_feat, rgb (2T*2Wb, 3P) if emit_rgb
+    colup_dtype,
+    rgb_dtype,
+    store_dtype,
+    emit_feat=True,
+    emit_rgb=False,
 ):
+    if emit_rgb:
+        wrgbp_ref, out_refs = rest[0], rest[1:]
+    else:
+        wrgbp_ref, out_refs = None, rest
     lrelu = lambda v: jnp.where(v >= 0, v, 0.2 * v) * 1.4142135623730951
     t, wb, l = yc_ref.shape
     p = n1_ref.shape[-1]
 
+    # row halo from single-row neighbor blocks (zeroed at the image edges)
+    i = pl.program_id(0)
+    g = pl.num_programs(0)
+    prev_row = jnp.where(i == 0, 0.0, yhp_ref[:])
+    next_row = jnp.where(i == g - 1, 0.0, yhn_ref[:])
+    yp = jnp.concatenate([prev_row, yc_ref[:-1]], axis=0)
+    yn = jnp.concatenate([yc_ref[1:], next_row], axis=0)
+
     # row 2x upsample (sublane axis): (T,..) -> (2T,..)
-    even = K4[0] * yp_ref[:] + K4[2] * yc_ref[:]
-    odd = K4[1] * yc_ref[:] + K4[3] * yn_ref[:]
+    even = K4[0] * yp + K4[2] * yc_ref[:]
+    odd = K4[1] * yc_ref[:] + K4[3] * yn
     x = jnp.stack([even, odd], axis=1).reshape(2 * t, wb, l)
 
     # column 2x upsample in lane space: W-block shifts are non-lane
     # concatenations; the blends are (rows, L) @ (L, L) MXU matmuls.
+    # colup_dtype=fp32 keeps the upsample path exact; bf16 (serving) runs
+    # the MXU ~8x faster — the 0/0.25/0.75 map entries are bf16-exact, so
+    # the only rounding is one bf16 cast of the activations.
     zb = jnp.zeros((2 * t, 1, l), x.dtype)
     x_prev = jnp.concatenate([zb, x[:, :-1]], axis=1)
     x_next = jnp.concatenate([x[:, 1:], zb], axis=1)
-    flat = lambda a: a.reshape(2 * t * wb, l)
-    # fp32 matmuls here: the col-up maps are sparse 0/k masks and the MXU
-    # bf16 rounding of the INPUT activations would double-round them
-    ev = jnp.dot(flat(x_prev), ep_ref[:], preferred_element_type=jnp.float32)
-    ev = ev + jnp.dot(flat(x), ec_ref[:], preferred_element_type=jnp.float32)
-    od = jnp.dot(flat(x), oc_ref[:], preferred_element_type=jnp.float32)
-    od = od + jnp.dot(flat(x_next), on_ref[:], preferred_element_type=jnp.float32)
+    flat = lambda a: a.reshape(2 * t * wb, l).astype(colup_dtype)
+    cmat = lambda r: r[:].astype(colup_dtype)
+    ev = jnp.dot(flat(x_prev), cmat(ep_ref), preferred_element_type=jnp.float32)
+    ev = ev + jnp.dot(flat(x), cmat(ec_ref), preferred_element_type=jnp.float32)
+    od = jnp.dot(flat(x), cmat(oc_ref), preferred_element_type=jnp.float32)
+    od = od + jnp.dot(flat(x_next), cmat(on_ref), preferred_element_type=jnp.float32)
     up = jnp.stack(
         [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
     ).reshape(2 * t, 2 * wb, l)
@@ -295,13 +330,31 @@ def _packed_kernel(
         n2_ref[:].reshape(2 * t * 2 * wb, p), en_ref[:],
         preferred_element_type=jnp.float32,
     ).reshape(2 * t, 2 * wb, l)
-    feat_ref[:] = lrelu(h2 + nw_ref[0, 1] * n2 + b2_ref[:]).astype(
-        feat_ref.dtype
-    )
+    h2 = lrelu(h2 + nw_ref[0, 1] * n2 + b2_ref[:])
+
+    ri = 0
+    if emit_feat:
+        out_refs[ri][:] = h2.astype(out_refs[ri].dtype)
+        ri += 1
+    if emit_rgb:
+        # ToRGB folded in: round h2 through the feat-store dtype first so
+        # the fused rgb matches the XLA path (which reads the stored feat)
+        # bit-for-bit, even when the feat store itself is elided.
+        stored = h2.astype(store_dtype).astype(rgb_dtype)
+        rgb = jnp.dot(
+            stored.reshape(2 * t * 2 * wb, l),
+            wrgbp_ref[:].astype(rgb_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        out_refs[ri][:] = rgb
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_rows", "interpret", "out_dtype")
+    jax.jit,
+    static_argnames=(
+        "t_rows", "interpret", "out_dtype", "emit_feat", "colup_dtype",
+        "rgb_dtype",
+    ),
 )
 def decoder_block_packed(
     y1,  # (Hp, Wp, C) conv1 (upsampling modconv) matmul output, prev res
@@ -312,17 +365,28 @@ def decoder_block_packed(
     b2,  # (C,)
     noise_w1,
     noise_w2,
+    wrgb=None,  # (C, 3) pre-modulated ToRGB weight (no demod) -> emit rgb
     t_rows: int = 8,
     interpret: bool = False,
     out_dtype=jnp.float32,
+    emit_feat: bool = True,
+    colup_dtype=jnp.float32,
+    rgb_dtype=jnp.bfloat16,
 ):
-    """Fused upsample+noise+act+conv2+noise+act for one decoder block in the
-    packed-lane layout. Returns feat (2Hp, 2Wp, C). ToRGB/skip remain XLA."""
+    """Fused upsample+noise+act+conv2+noise+act (+ToRGB) for one decoder
+    block in the packed-lane layout. The row halo is fetched in-kernel via
+    single-row neighbor blocks (no host-side shifted copies).
+
+    Returns feat (2Hp, 2Wp, C) when wrgb is None; (feat, rgb) with rgb
+    (2Hp, 2Wp, 3) fp32 (pre-bias, pre-skip) when wrgb is given; rgb alone
+    when additionally emit_feat=False (final block: the feature store is
+    elided entirely). The RGB skip/bias chain stays in XLA."""
     hp, wp, c = y1.shape
     p = max(1, 128 // c)
     assert (c * p) % 128 == 0 or c >= 128, (c, p)
     l = p * c
     assert wp % p == 0 and hp % t_rows == 0, (hp, wp, p, t_rows)
+    assert emit_feat or wrgb is not None
     wb = wp // p
 
     ep, ec, oc, on = (jnp.asarray(m) for m in _build_colup_mats(p, c))
@@ -333,37 +397,94 @@ def decoder_block_packed(
     nw = jnp.stack([noise_w1, noise_w2]).reshape(1, 2).astype(jnp.float32)
 
     ypk = y1.reshape(hp, wb, l).astype(jnp.float32)
-    yp, yc, yn = _shifts(ypk)
     n1 = noise1.reshape(2 * hp, 2 * wb, p).astype(jnp.float32)
     n2 = noise2.reshape(2 * hp, 2 * wb, p).astype(jnp.float32)
 
-    grid = (hp // t_rows,)
+    g = hp // t_rows
+    grid = (g,)
     row3 = lambda i: (i, 0, 0)
     full2 = lambda i: (0, 0)
     tile = lambda r, w, ch: pl.BlockSpec((r, w, ch), row3, memory_space=pltpu.VMEM)
     const = lambda a, b_: pl.BlockSpec((a, b_), full2, memory_space=pltpu.VMEM)
+    # single-row halo blocks: row above / below the tile, clamped at edges
+    # (the kernel zero-masks them via program_id)
+    halo_p = pl.BlockSpec(
+        (1, wb, l), lambda i: (jnp.maximum(i * t_rows - 1, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    halo_n = pl.BlockSpec(
+        (1, wb, l),
+        lambda i: (jnp.minimum((i + 1) * t_rows, hp - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
-    feat = pl.pallas_call(
-        _packed_kernel,
-        grid=grid,
-        in_specs=[
-            tile(t_rows, wb, l), tile(t_rows, wb, l), tile(t_rows, wb, l),
-            tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p),
-            const(l, l), const(l, l), const(l, l), const(l, l),
-            const(p, l),
-            const(l, l),
-            const(1, l), const(1, l),
-            pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
-        ],
-        out_specs=tile(2 * t_rows, 2 * wb, l),
-        out_shape=jax.ShapeDtypeStruct((2 * hp, 2 * wb, l), out_dtype),
-        interpret=interpret,
-    )(
-        yp, yc, yn, n1, n2,
+    emit_rgb = wrgb is not None
+    in_specs = [
+        tile(t_rows, wb, l), halo_p, halo_n,
+        tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p),
+        const(l, l), const(l, l), const(l, l), const(l, l),
+        const(p, l),
+        const(l, l),
+        const(1, l), const(1, l),
+        pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        ypk, ypk, ypk, n1, n2,
         ep, ec, oc, on, en,
         w2p.astype(jnp.float32), b1t, b2t, nw,
+    ]
+    out_specs, out_shape = [], []
+    if emit_feat:
+        out_specs.append(tile(2 * t_rows, 2 * wb, l))
+        out_shape.append(
+            jax.ShapeDtypeStruct((2 * hp, 2 * wb, l), out_dtype)
+        )
+    if emit_rgb:
+        wrgbp = jnp.kron(jnp.eye(p, dtype=wrgb.dtype), wrgb)  # (L, 3P)
+        in_specs.append(const(l, 3 * p))
+        operands.append(wrgbp.astype(jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(
+                (2 * t_rows * 2 * wb, 3 * p), lambda i: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((2 * hp * 2 * wb, 3 * p), jnp.float32)
+        )
+
+    kernel = functools.partial(
+        _packed_kernel,
+        colup_dtype=jnp.dtype(colup_dtype),
+        rgb_dtype=jnp.dtype(rgb_dtype),
+        store_dtype=jnp.dtype(out_dtype),
+        emit_feat=emit_feat,
+        emit_rgb=emit_rgb,
     )
-    return feat.reshape(2 * hp, 2 * wp, c)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        interpret=interpret,
+        # the ToRGB fold pushes the largest (1024^2) block's live
+        # intermediates slightly past Mosaic's default 16 MiB scoped-vmem
+        # budget; v5e has 128 MiB of VMEM — allow 64 MiB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+    )(*operands)
+
+    outs = outs if isinstance(outs, (tuple, list)) else (outs,)
+    res = []
+    i = 0
+    if emit_feat:
+        res.append(outs[i].reshape(2 * hp, 2 * wp, c))
+        i += 1
+    if emit_rgb:
+        res.append(outs[i].reshape(2 * hp, 2 * wp, 3))
+    return tuple(res) if len(res) > 1 else res[0]
 
 
 def decoder_block_packed_reference(

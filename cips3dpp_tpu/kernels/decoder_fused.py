@@ -5,8 +5,11 @@ for batch 1 from the raw param tree: the pre-upsample 1x1 modulated convs
 stay XLA einsums (MXU-bound, small activations), while every upsample block
 — the HBM-bound half of serving time — goes through
 kernels.decoder_block.decoder_block_packed (one read + one write of the
-block's activation map instead of XLA's ~11 fusion passes). ToRGB and the
-RGB skip chain stay XLA: their traffic is 3-channel and small.
+block's activation map instead of XLA's ~11 fusion passes). ToRGB is folded
+into the kernel too (it would otherwise re-read the full feature map from
+HBM), and the FINAL block's feature store is elided entirely — its features
+are only consumed by ToRGB. Only the 3-channel RGB skip accumulation stays
+XLA.
 
 Numerics match the flax Decoder: fp32 upsample/noise/bias paths, bf16 matmul
 inputs with fp32 accumulation (the TPU default rounding for fp32 dots).
@@ -67,6 +70,11 @@ def decoder_fused_apply(
     # None -> all of upsample_list. Unfused up-blocks run the identical
     # XLA math (shift-add upsample2x + matmuls), so fuse_res only moves
     # the XLA/kernel boundary, never the numerics contract.
+    fold_rgb=False,  # fold ToRGB into the kernel. Measured OFF is faster:
+    # Pallas outputs use the default tiled layout, so the (rows, 3P) packed
+    # rgb pads its lane dim 3P -> 128 in HBM (~10x the logical bytes); the
+    # interleaved A/B showed 9.2 ms/frame folded vs 3.0 ms unfolded. Kept
+    # as an option pending a planar-layout rgb store.
 ):
     """Fused-decoder forward; mirrors models.Decoder.__call__ exactly for
     batch 1, kernel_size 1, explicit noise. Returns rgb (1, H*up, W*up, 3)."""
@@ -122,12 +130,23 @@ def decoder_fused_apply(
             x = styled_conv(cb, h, styles[:, layer_i + 1], noise[noise_i + 1])
         elif up:
             # fused block: conv_a matmul at the previous resolution (XLA),
-            # then upsample+noise+act+conv_b+noise+act in one kernel pass
+            # then upsample+noise+act+conv_b+noise+act+ToRGB in one kernel
+            # pass. The final block elides its feature store entirely — its
+            # features are only ever consumed by ToRGB.
+            last = i == log_out
             wa = _conv_weight(ca["conv"], styles[:, layer_i])
             y1 = _matmul_img(x, wa, dt)
             wb = _conv_weight(cb["conv"], styles[:, layer_i + 1])
+            rgb_node = dec_params[f"to_rgbs_{block}"]
+            wrgb = (
+                _conv_weight(
+                    rgb_node["conv"], styles[:, layer_i + 2], demodulate=False
+                )
+                if fold_rgb
+                else None
+            )
             hp = y1.shape[1]
-            feat = decoder_block_packed(
+            out = decoder_block_packed(
                 y1[0],
                 noise[noise_i][0],
                 noise[noise_i + 1][0],
@@ -136,11 +155,26 @@ def decoder_fused_apply(
                 cb["act_bias"],
                 ca["noise"]["weight"].reshape(()),
                 cb["noise"]["weight"].reshape(()),
+                wrgb=wrgb,
                 t_rows=min(8, hp),
                 interpret=interpret,
                 out_dtype=dt,
+                emit_feat=(not last) or not fold_rgb,
+                colup_dtype=dt if dt == jnp.bfloat16 else jnp.float32,
+                rgb_dtype=dt,
             )
-            x = feat[None]
+            if fold_rgb:
+                feat, rgb = (None, out) if last else out
+                x = None if last else feat[None]
+                rgb = rgb[None].astype(jnp.float32) + rgb_node["bias"]
+                skip = rgb + upsample2x(skip)
+            else:
+                x = out[None]
+                skip = to_rgb(rgb_node, x, styles[:, layer_i + 2], skip, up)
+            layer_i += 2
+            noise_i += 2
+            block += 1
+            continue
         else:
             x = styled_conv(ca, x, styles[:, layer_i], noise[noise_i])
             x = styled_conv(cb, x, styles[:, layer_i + 1], noise[noise_i + 1])

@@ -52,17 +52,18 @@ def fast_sin(x):
     return r * (c[0] + r2 * (c[1] + r2 * (c[2] + r2 * (c[3] + r2 * c[4]))))
 
 
-def _film(x, w, b, gamma, beta):
-    """sin(gamma * (x @ w + b) + beta); bf16 matmul inputs, fp32 phase."""
-    lin = (
-        jnp.dot(
-            x.astype(jnp.bfloat16),
-            w.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
-        + b
+def _film(x, w, g, beff):
+    """sin(g * (x @ w) + beff) with beff = g*bias + beta pre-folded
+    host-side (constants only — folding g into the WEIGHTS would change
+    which values get bf16-rounded and the resulting phase noise amplifies
+    exponentially through the SIREN layers; folding the biases is pure
+    fp32 reassociation). bf16 matmul inputs, fp32 phase."""
+    lin = jnp.dot(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
-    return fast_sin(gamma * lin + beta)
+    return fast_sin(g * lin + beff)
 
 
 def _linear(x, w, b):
@@ -128,9 +129,9 @@ def _kernel(
     view_ref,  # (Rt, 3)
     zvals_ref,  # (Rt, S)
     dnorm_ref,  # (Rt, 1)
-    w0_ref, b0_ref, g0_ref, e0_ref,  # layer 0: (3,W) (1,W) (1,W) (1,W)
-    w1_ref, b1_ref, g1_ref, e1_ref,  # layer 1: (W,W) ...
-    wv_ref, bv_ref, gv_ref, ev_ref,  # view layer: (W+3,W) ...
+    w0_ref, g0_ref, be0_ref,  # layer 0: (3,W) gamma (1,W) g*b+beta (1,W)
+    w1_ref, g1_ref, be1_ref,  # layer 1: (W,W) (1,W) (1,W)
+    wvh_ref, wvv_ref, gv_ref, bev_ref,  # view split: (W,W) (3,W) (1,W) (1,W)
     wsdf_ref, bsdf_ref,  # (W,1) (1,1)
     wrgb_ref, brgb_ref,  # (W,3) (1,3)
     scal_ref,  # (1,2) [pts_normalize_scale, sigmoid_beta] in SMEM
@@ -151,16 +152,29 @@ def _kernel(
     sigmoid_beta = scal_ref[0, 1]
 
     x = (pts * scale).reshape(rt * s, 3)  # normalized points
-    h = _film(x, w0_ref[:], b0_ref[:], g0_ref[:], e0_ref[:])
-    h = _film(h, w1_ref[:], b1_ref[:], g1_ref[:], e1_ref[:])
+    h = _film(x, w0_ref[:], g0_ref[:], be0_ref[:])
+    h = _film(h, w1_ref[:], g1_ref[:], be1_ref[:])
     sdf = _linear(h, wsdf_ref[:], bsdf_ref[:])  # (Rt*S, 1)
 
-    # view conditioning: broadcast the per-ray dir over samples
-    views = jnp.broadcast_to(view_ref[:][:, None, :], (rt, s, 3)).reshape(
-        rt * s, 3
+    # view conditioning WITHOUT the (Rt*S, W+3) concat: the view dirs are
+    # per-RAY, so their K=3 contribution is a tiny (Rt,3)@(3,W) matmul
+    # folded (with gamma/beta/bias) into a per-ray phase term broadcast
+    # over samples — this also keeps the main matmul at K=W (the concat
+    # form pads K = W+3 up to the next 128 multiple on the MXU)
+    vterm = jnp.dot(
+        view_ref[:].astype(jnp.bfloat16),
+        wvv_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
-    hv = jnp.concatenate([h, views], axis=-1)
-    feats = _film(hv, wv_ref[:], bv_ref[:], gv_ref[:], ev_ref[:])
+    vphase = gv_ref[:] * vterm + bev_ref[:]  # (Rt, W)
+    hv = jnp.dot(
+        h.astype(jnp.bfloat16),
+        wvh_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(rt, s, width)
+    feats = fast_sin(gv_ref[:] * hv + vphase[:, None, :]).reshape(
+        rt * s, width
+    )
     rgb = _linear(feats, wrgb_ref[:], brgb_ref[:])  # (Rt*S, 3)
 
     thumb, feat, xyz, mask, depth, _ = _integrate(
@@ -187,22 +201,29 @@ def _pack_siren_params(net_params, styles):
     kernel's weight operands. styles: (L+1, style_dim) for ONE sample.
 
     gamma/beta are style-conditioned FiLM coefficients
-    (volume_renderer.py:66-83): g = 15*(s@Wg+bg)+30, e = 0.25*(s@We+be)."""
+    (volume_renderer.py:66-83): g = 15*(s@Wg+bg)+30, e = 0.25*(s@We+be).
+    The per-layer bias is folded as beff = g*bias + beta (fp32 constants —
+    one VPU op saved per activation element; the WEIGHTS stay unfolded so
+    bf16 rounding hits the same values as the XLA path). The view layer's
+    (W+3, W) weight is split into its h-rows and view-rows: the view
+    contribution is per-RAY."""
 
-    def film_coeffs(node, style):
+    def coeffs(node, style):
         g = 15.0 * (style @ node["gamma"]["weight"] + node["gamma"]["bias"]) + 30.0
         e = 0.25 * (style @ node["beta"]["weight"] + node["beta"]["bias"])
-        return g[None, :], e[None, :]
+        beff = g * node["bias"] + e
+        return g[None, :], beff[None, :]
 
     p0, p1 = net_params["pts_0"], net_params["pts_1"]
     pv = net_params["views"]
-    g0, e0 = film_coeffs(p0, styles[0])
-    g1, e1 = film_coeffs(p1, styles[1])
-    gv, ev = film_coeffs(pv, styles[-1])
+    g0, be0 = coeffs(p0, styles[0])
+    g1, be1 = coeffs(p1, styles[1])
+    gv, bev = coeffs(pv, styles[-1])
+    width = p1["weight"].shape[1]
     return (
-        p0["weight"], p0["bias"][None, :], g0, e0,
-        p1["weight"], p1["bias"][None, :], g1, e1,
-        pv["weight"], pv["bias"][None, :], gv, ev,
+        p0["weight"], g0, be0,
+        p1["weight"], g1, be1,
+        pv["weight"][:width], pv["weight"][width:], gv, bev,
         net_params["sigma_head"]["weight"],
         net_params["sigma_head"]["bias"][None, :],
         net_params["rgb_head"]["weight"],

@@ -84,10 +84,12 @@ def test_fused_packing_shapes(setup):
     params, styles, *_ = setup
     w = _pack_siren_params(params["network"], styles)
     assert w[0].shape == (3, 128)  # w0
-    assert w[2].shape == (1, 128)  # gamma0
-    assert w[8].shape == (131, 128)  # view layer weight
-    assert w[12].shape == (128, 1)  # sdf head
-    assert w[14].shape == (128, 3)  # rgb head
+    assert w[1].shape == (1, 128)  # gamma0
+    assert w[2].shape == (1, 128)  # beff0 = g*b + beta
+    assert w[6].shape == (128, 128)  # view layer weight, h rows
+    assert w[7].shape == (3, 128)  # view layer weight, view rows
+    assert w[10].shape == (128, 1)  # sdf head
+    assert w[12].shape == (128, 3)  # rgb head
 
 
 def test_decoder_block_fused_matches_reference():
@@ -168,8 +170,12 @@ def test_siren_render_custom_vjp(setup):
     for a, b in zip(leaves_f, leaves_r):
         a, b = np.asarray(a), np.asarray(b)
         assert np.isfinite(a).all()
+        # relative check with a small absolute floor: the cotangent comes
+        # from the kernel's forward (bf16-rounded, gamma folded into the
+        # weights), so near-zero-grad leaves see O(forward-delta) absolute
+        # noise that a pure relative bound over-penalises
         denom = max(np.abs(b).max(), 1e-3)
-        assert np.abs(a - b).max() / denom < 0.1
+        assert np.abs(a - b).max() < 0.1 * denom + 2.5e-3
 
 
 @pytest.mark.parametrize("c", [32, 64, 128])
@@ -211,6 +217,58 @@ def test_decoder_block_packed_parity(c):
     )
     np.testing.assert_allclose(np.asarray(zero), np.asarray(zref),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("c", [32, 128])
+def test_decoder_block_packed_rgb_fold(c):
+    """ToRGB folded into the packed kernel: (feat, rgb) vs the jnp block
+    oracle, and the final-block mode (emit_feat=False) must return the
+    identical rgb with the feature store elided."""
+    from cips3dpp_tpu.kernels.decoder_block import (
+        decoder_block_packed,
+        decoder_block_reference,
+    )
+
+    hp = wp = 16
+    ks = jax.random.split(jax.random.PRNGKey(42), 7)
+    y1 = jax.random.normal(ks[0], (hp, wp, c))
+    noise1 = jax.random.normal(ks[1], (2 * hp, 2 * wp, 1))
+    noise2 = jax.random.normal(ks[2], (2 * hp, 2 * wp, 1))
+    w2 = jax.random.normal(ks[3], (c, c)) / np.sqrt(c)
+    b1 = jax.random.normal(ks[4], (c,)) * 0.1
+    b2 = jax.random.normal(ks[5], (c,)) * 0.1
+    wrgb = jax.random.normal(ks[6], (c, 3)) / np.sqrt(c)
+    zero3 = jnp.zeros((3,))
+    zskip = jnp.zeros((hp, wp, 3))
+
+    feat, rgb = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2, wrgb=wrgb,
+        t_rows=8, interpret=True,
+        out_dtype=jnp.bfloat16, rgb_dtype=jnp.bfloat16,
+        colup_dtype=jnp.bfloat16,
+    )
+    # oracle: upsample fp32 (colup bf16 rounding covered by tolerance)
+    feat_ref, rgb_ref = decoder_block_reference(
+        y1, zskip, noise1, noise2, w2, wrgb, b1, b2, zero3, 0.3, -0.2
+    )
+    # the oracle's rgb includes the (zero) skip upsample, which is exact
+    assert feat.shape == (2 * hp, 2 * wp, c)
+    assert rgb.shape == (2 * hp, 2 * wp, 3)
+    np.testing.assert_allclose(
+        np.asarray(feat, np.float32), np.asarray(feat_ref),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb), np.asarray(rgb_ref), rtol=5e-2, atol=5e-2
+    )
+
+    rgb_only = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2, wrgb=wrgb,
+        t_rows=8, interpret=True,
+        out_dtype=jnp.bfloat16, rgb_dtype=jnp.bfloat16,
+        colup_dtype=jnp.bfloat16, emit_feat=False,
+    )
+    np.testing.assert_array_equal(np.asarray(rgb_only), np.asarray(rgb))
 
 
 def test_decoder_fused_apply_parity():
