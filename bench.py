@@ -58,13 +58,16 @@ def main():
         )
     )(key)
 
-    # Noise buffers are created ONCE per trajectory and ray perturbation is
-    # off — exactly the reference's multi-view app semantics
-    # (render_video_web_v10.py:1792-1794 create_noise_bufs per video;
-    # :1726 nerf_cfg.perturb = False).
-    noise_bufs = model.bind(params).decoder.make_noise(
-        jax.random.PRNGKey(7), cfg.img_size
-    )
+    # Noise is FIXED per trajectory and ray perturbation is off — exactly
+    # the reference's multi-view app semantics (render_video_web_v10.py:
+    # 1792-1794 create_noise_bufs per video; :1726 nerf_cfg.perturb=False).
+    # (An in-kernel hash-noise mode exists but measured slower than bf16
+    # buffers on v5e — see kernels/decoder_block.py.)
+    noise_kw = {
+        "noise_bufs": model.bind(params).decoder.make_noise(
+            jax.random.PRNGKey(7), cfg.img_size
+        )
+    }
 
     def render_frame(params, z0, z1, azim, elev):
         """One multi-view frame, batch 1, N_samples 24 — the reference's
@@ -80,9 +83,9 @@ def main():
             near=cam.near,
             far=cam.far,
             perturb=False,
-            noise_bufs=noise_bufs,
             fused_renderer=fused,
             fused_decoder=fused,
+            **noise_kw,
         )
         return out["rgb"]
 

@@ -147,10 +147,13 @@ def translate_rotate_trajectory(
 # -------------------------------------------------------------- rendering --
 
 
-def make_frame_renderer(model, params, *, ray_chunk=None, fused=False):
+def make_frame_renderer(model, params, *, ray_chunk=None, fused=False,
+                        noise_seed=None):
     """One jitted frame fn shared by every trajectory app: styles are
     precomputed once (w-space; truncation applied there), camera varies per
-    frame. fused=True uses the Pallas SIREN kernel (serving)."""
+    frame. fused=True uses the Pallas SIREN kernel (serving); noise_seed
+    (fused only) derives the fixed noise realization in-kernel instead of
+    reading lane-padded buffers — pass noise_bufs=None per frame then."""
 
     @jax.jit
     def frame(style_render, style_decoder, extrinsics, focal, near, far, noise_bufs):
@@ -167,6 +170,7 @@ def make_frame_renderer(model, params, *, ray_chunk=None, fused=False):
             ray_chunk=ray_chunk,
             fused_renderer=fused,
             fused_decoder=fused,
+            noise_seed=noise_seed,
         )
         return out["rgb"], out["thumb_rgb"], out["depth"], out["xyz"]
 
@@ -255,7 +259,11 @@ def render_trajectory(
     Returns dict of stacked host arrays: rgb (N,H,W,3) in [-1,1], thumb,
     depth, xyz."""
     style_render, style_decoder = get_styles(model, params, zs, truncation, mean_latents)
-    if noise_bufs is None:
+    # (in-kernel hash noise exists as a zero-HBM option, but measured
+    # SLOWER than bf16 buffers on v5e — Box-Muller transcendentals cost
+    # more than the padded DMA they save; buffers stay the default)
+    noise_seed = None
+    if noise_bufs is None and noise_seed is None:
         bound = model.bind(params)
         noise_bufs = bound.decoder.make_noise(
             jax.random.PRNGKey(0), model.cfg.img_size
@@ -273,7 +281,9 @@ def render_trajectory(
             model, params, style_render, key, max_res=project_noise_max_res,
         )
 
-    frame = make_frame_renderer(model, params, ray_chunk=ray_chunk, fused=fused)
+    frame = make_frame_renderer(
+        model, params, ray_chunk=ray_chunk, fused=fused, noise_seed=noise_seed
+    )
     outs = {"rgb": [], "thumb_rgb": [], "depth": [], "xyz": []}
     n = cams.extrinsics.shape[0]
     for i in range(n):

@@ -257,44 +257,133 @@ def _mxu(a, b):
     )
 
 
+# --------------------------------------------------------------------------
+# Procedural serving noise. NoiseInjection adds one per-PIXEL map broadcast
+# over channels (model_v3.py:327-341); at 1024^2 the (.., P<128)-minor noise
+# buffers lane-pad to 128 in the kernel's required default layout, so READING
+# them costs ~10x their logical bytes (~0.3 ms/frame at the last block).
+# Serving uses a fixed noise realization per trajectory anyway
+# (render_video_web_v10.py:1792-1794), so instead of buffers the kernel can
+# generate a deterministic realization from (pixel index, seed) with pure
+# int32 math — identical on TPU and in interpret mode, zero HBM traffic.
+# Buffers remain the mode for inversion/import artifacts (optimized values).
+
+_2PI = 6.283185307179586
+_HALF_PI = 1.5707963267948966
+
+
+def _hash_u32(x):
+    """lowbias32-style avalanche hash on uint32."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _fast_sin(x):
+    """Degree-9 odd minimax sin (same poly as kernels.siren_render)."""
+    inv_2pi = 0.15915494309189535
+    c = (
+        0.9999727636431689,
+        -0.16661501432840328,
+        0.008305441787505873,
+        -0.00019215724206787978,
+        2.125150239026409e-06,
+    )
+    k = jnp.round(x * inv_2pi)
+    r = x - k * _2PI
+    r2 = r * r
+    return r * (c[0] + r2 * (c[1] + r2 * (c[2] + r2 * (c[3] + r2 * c[4]))))
+
+
+def hash_normal(pix, seed):
+    """Deterministic N(0,1) from uint32 pixel ids + uint32 seed (Box-Muller
+    over two decorrelated avalanche hashes). Pure elementwise int/fp32 ops —
+    bit-identical across TPU hardware and pallas interpret mode."""
+    h1 = _hash_u32(pix ^ seed)
+    h2 = _hash_u32(pix + jnp.uint32(0x9E3779B9) + (seed * jnp.uint32(0x85EBCA6B)))
+    # 24-bit mantissa uniforms in (0, 1); uint32 -> f32 is not lowerable on
+    # Mosaic, so hop through int32 (safe: the shifted values fit in 24 bits)
+    u1 = (h1 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / 16777216.0
+    ) + (1.0 / 33554432.0)
+    u2 = (h2 >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32) * (
+        1.0 / 16777216.0
+    )
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * _fast_sin(_2PI * u2 + _HALF_PI)  # cos(2*pi*u2)
+
+
+def layer_seed(base_seed, layer_idx):
+    """Per-noise-layer uint32 seed from a base seed (shared by the kernel
+    call-sites and the jnp oracle)."""
+    return _hash_u32(
+        jnp.uint32(base_seed) ^ (jnp.uint32(0xABC00000) + jnp.uint32(layer_idx))
+    )
+
+
+def hash_noise_map(height, width, seed):
+    """(height, width, 1) noise buffer equal to the kernel's in-kernel hash
+    realization — the jnp oracle for hash-noise mode, and the generator for
+    the small non-fused layers when a seed drives the whole decoder."""
+    r = jnp.arange(height, dtype=jnp.uint32)[:, None]
+    c = jnp.arange(width, dtype=jnp.uint32)[None, :]
+    pix = r * jnp.uint32(width) + c
+    return hash_normal(pix, jnp.uint32(seed))[..., None]
+
+
 def _packed_kernel(
     yc_ref,  # (T, Wb, L) current packed conv1 tile
     yhp_ref,  # (1, Wb, L) halo row ABOVE the tile (clamped at i=0)
     yhn_ref,  # (1, Wb, L) halo row BELOW the tile (clamped at i=G-1)
-    n1_ref,  # (2T, 2Wb, P) packed noise 1
-    n2_ref,  # (2T, 2Wb, P)
-    ep_ref, ec_ref, oc_ref, on_ref,  # (L, L) col-upsample maps
-    en_ref,  # (P, L) noise expander
-    w2p_ref,  # (L, L) kron(I_P, w2)
-    b1_ref, b2_ref,  # (1, L) tiled biases
-    nw_ref,  # (1, 2) noise weights (SMEM)
-    *rest,  # [wrgbp_ref (L, 3P)] if emit_rgb, then the out refs:
-    # feat (2T, 2Wb, L) if emit_feat, rgb (2T*2Wb, 3P) if emit_rgb
+    *rest,  # then, in order:
+    #   buffers mode: n1 (2T, 2Wb, P), n2 (2T, 2Wb, P)
+    #   hash mode:    seeds (1, 2) uint32 SMEM
+    # ep, ec, oc, on (L, L) col-upsample maps; en (P, L) noise expander;
+    # w2p (L, L); b1, b2 (1, L); nw (1, 2) SMEM;
+    # [wrgbp (L, 3P)] if emit_rgb; then out refs:
+    #   feat (2T, 2Wb, L) if emit_feat, rgb (2T*2Wb, 3P) if emit_rgb
     colup_dtype,
     rgb_dtype,
     store_dtype,
+    pack_p,
+    out_width,
     emit_feat=True,
     emit_rgb=False,
+    hash_noise=False,
 ):
+    rest = list(rest)
+    if hash_noise:
+        seeds_ref = rest.pop(0)
+        n1_ref = n2_ref = None
+    else:
+        n1_ref, n2_ref = rest.pop(0), rest.pop(0)
+    (ep_ref, ec_ref, oc_ref, on_ref, en_ref, w2p_ref, b1_ref, b2_ref,
+     nw_ref) = rest[:9]
+    rest = rest[9:]
     if emit_rgb:
         wrgbp_ref, out_refs = rest[0], rest[1:]
     else:
         wrgbp_ref, out_refs = None, rest
     lrelu = lambda v: jnp.where(v >= 0, v, 0.2 * v) * 1.4142135623730951
     t, wb, l = yc_ref.shape
-    p = n1_ref.shape[-1]
+    p = pack_p
 
-    # row halo from single-row neighbor blocks (zeroed at the image edges)
+    # row halo from single-row neighbor blocks (zeroed at the image edges).
+    # y1 may arrive bf16 (serving halves its DMA); upsample math is fp32.
+    yc = yc_ref[:].astype(jnp.float32)
     i = pl.program_id(0)
     g = pl.num_programs(0)
-    prev_row = jnp.where(i == 0, 0.0, yhp_ref[:])
-    next_row = jnp.where(i == g - 1, 0.0, yhn_ref[:])
-    yp = jnp.concatenate([prev_row, yc_ref[:-1]], axis=0)
-    yn = jnp.concatenate([yc_ref[1:], next_row], axis=0)
+    prev_row = jnp.where(i == 0, 0.0, yhp_ref[:].astype(jnp.float32))
+    next_row = jnp.where(i == g - 1, 0.0, yhn_ref[:].astype(jnp.float32))
+    yp = jnp.concatenate([prev_row, yc[:-1]], axis=0)
+    yn = jnp.concatenate([yc[1:], next_row], axis=0)
 
     # row 2x upsample (sublane axis): (T,..) -> (2T,..)
-    even = K4[0] * yp + K4[2] * yc_ref[:]
-    odd = K4[1] * yc_ref[:] + K4[3] * yn
+    even = K4[0] * yp + K4[2] * yc
+    odd = K4[1] * yc + K4[3] * yn
     x = jnp.stack([even, odd], axis=1).reshape(2 * t, wb, l)
 
     # column 2x upsample in lane space: W-block shifts are non-lane
@@ -315,9 +404,27 @@ def _packed_kernel(
         [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
     ).reshape(2 * t, 2 * wb, l)
 
-    # noise 1 + bias + lrelu
+    # per-pixel noise in (2T, 2Wb, P), expanded over channels on the MXU
+    if hash_noise:
+        row0 = jnp.uint32(2 * t) * pl.program_id(0).astype(jnp.uint32)
+        shape_p = (2 * t, 2 * wb, p)
+        r_idx = jax.lax.broadcasted_iota(jnp.uint32, shape_p, 0) + row0
+        c_idx = (
+            jax.lax.broadcasted_iota(jnp.uint32, shape_p, 1)
+            * jnp.uint32(p)
+            + jax.lax.broadcasted_iota(jnp.uint32, shape_p, 2)
+        )
+        pix = r_idx * jnp.uint32(out_width) + c_idx
+        n1p = hash_normal(pix, seeds_ref[0, 0])
+        n2p = hash_normal(pix, seeds_ref[0, 1])
+    else:
+        # buffers may arrive bf16 (serving halves the lane-padded DMA);
+        # the expand matmul and everything downstream stay fp32
+        n1p = n1_ref[:].astype(jnp.float32)
+        n2p = n2_ref[:].astype(jnp.float32)
+
     n1 = jnp.dot(
-        n1_ref[:].reshape(2 * t * 2 * wb, p), en_ref[:],
+        n1p.reshape(2 * t * 2 * wb, p), en_ref[:],
         preferred_element_type=jnp.float32,
     ).reshape(2 * t, 2 * wb, l)
     h = lrelu(up + nw_ref[0, 0] * n1 + b1_ref[:])
@@ -327,7 +434,7 @@ def _packed_kernel(
         2 * t, 2 * wb, l
     )
     n2 = jnp.dot(
-        n2_ref[:].reshape(2 * t * 2 * wb, p), en_ref[:],
+        n2p.reshape(2 * t * 2 * wb, p), en_ref[:],
         preferred_element_type=jnp.float32,
     ).reshape(2 * t, 2 * wb, l)
     h2 = lrelu(h2 + nw_ref[0, 1] * n2 + b2_ref[:])
@@ -358,7 +465,7 @@ def _packed_kernel(
 )
 def decoder_block_packed(
     y1,  # (Hp, Wp, C) conv1 (upsampling modconv) matmul output, prev res
-    noise1,  # (2Hp, 2Wp, 1)
+    noise1,  # (2Hp, 2Wp, 1); ignored (may be None) with noise_seeds
     noise2,  # (2Hp, 2Wp, 1)
     w2,  # (C, C) pre-modulated conv2 weight
     b1,  # (C,)
@@ -366,6 +473,10 @@ def decoder_block_packed(
     noise_w1,
     noise_w2,
     wrgb=None,  # (C, 3) pre-modulated ToRGB weight (no demod) -> emit rgb
+    noise_seeds=None,  # (2,) uint32 -> in-kernel hash noise (serving):
+    # a fixed deterministic N(0,1) realization per seed, zero HBM traffic.
+    # The (.., P<128)-minor noise buffers otherwise lane-pad to 128 in the
+    # kernel's required layout (~10x their logical read bytes).
     t_rows: int = 8,
     interpret: bool = False,
     out_dtype=jnp.float32,
@@ -389,6 +500,7 @@ def decoder_block_packed(
     assert emit_feat or wrgb is not None
     wb = wp // p
 
+    hash_noise = noise_seeds is not None
     ep, ec, oc, on = (jnp.asarray(m) for m in _build_colup_mats(p, c))
     en = jnp.asarray(_build_noise_expand(p, c))
     w2p = jnp.kron(jnp.eye(p, dtype=w2.dtype), w2)
@@ -396,9 +508,9 @@ def decoder_block_packed(
     b2t = jnp.tile(b2.reshape(1, -1), (1, p)).astype(jnp.float32)
     nw = jnp.stack([noise_w1, noise_w2]).reshape(1, 2).astype(jnp.float32)
 
-    ypk = y1.reshape(hp, wb, l).astype(jnp.float32)
-    n1 = noise1.reshape(2 * hp, 2 * wb, p).astype(jnp.float32)
-    n2 = noise2.reshape(2 * hp, 2 * wb, p).astype(jnp.float32)
+    ypk = y1.reshape(hp, wb, l)
+    if ypk.dtype not in (jnp.bfloat16, jnp.float32):
+        ypk = ypk.astype(jnp.float32)
 
     g = hp // t_rows
     grid = (g,)
@@ -419,17 +531,30 @@ def decoder_block_packed(
     )
 
     emit_rgb = wrgb is not None
-    in_specs = [
-        tile(t_rows, wb, l), halo_p, halo_n,
-        tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p),
+    in_specs = [tile(t_rows, wb, l), halo_p, halo_n]
+    operands = [ypk, ypk, ypk]
+    if hash_noise:
+        in_specs.append(pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM))
+        operands.append(
+            jnp.asarray(noise_seeds, jnp.uint32).reshape(1, 2)
+        )
+    else:
+        n1 = noise1.reshape(2 * hp, 2 * wb, p)
+        n2 = noise2.reshape(2 * hp, 2 * wb, p)
+        if n1.dtype not in (jnp.bfloat16, jnp.float32):
+            n1, n2 = n1.astype(jnp.float32), n2.astype(jnp.float32)
+        in_specs += [
+            tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
+        ]
+        operands += [n1, n2]
+    in_specs += [
         const(l, l), const(l, l), const(l, l), const(l, l),
         const(p, l),
         const(l, l),
         const(1, l), const(1, l),
         pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
     ]
-    operands = [
-        ypk, ypk, ypk, n1, n2,
+    operands += [
         ep, ec, oc, on, en,
         w2p.astype(jnp.float32), b1t, b2t, nw,
     ]
@@ -458,8 +583,11 @@ def decoder_block_packed(
         colup_dtype=jnp.dtype(colup_dtype),
         rgb_dtype=jnp.dtype(rgb_dtype),
         store_dtype=jnp.dtype(out_dtype),
+        pack_p=p,
+        out_width=2 * wp,
         emit_feat=emit_feat,
         emit_rgb=emit_rgb,
+        hash_noise=hash_noise,
     )
     outs = pl.pallas_call(
         kernel,

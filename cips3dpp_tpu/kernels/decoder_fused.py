@@ -27,7 +27,7 @@ from ..models.layers import channel_table
 from ..ops.modulated import modulate_weights_1x1
 from ..ops.upfirdn2d import upsample2x
 from ..ops.fused_act import fused_leaky_relu
-from .decoder_block import decoder_block_packed
+from .decoder_block import decoder_block_packed, hash_noise_map, layer_seed
 
 
 def _mod_style(mod, style):
@@ -75,6 +75,12 @@ def decoder_fused_apply(
     # rgb pads its lane dim 3P -> 128 in HBM (~10x the logical bytes); the
     # interleaved A/B showed 9.2 ms/frame folded vs 3.0 ms unfolded. Kept
     # as an option pending a planar-layout rgb store.
+    noise_seed=None,  # uint32: derive ALL noise procedurally from one seed
+    # (decoder_block.hash_noise_map / in-kernel hash). Serving-only: a fixed
+    # deterministic realization per seed, replacing the (.., P<128)-minor
+    # noise buffers whose lane padding costs ~10x their bytes to read.
+    # `noise` may then be None; explicit buffers keep priority for
+    # inversion artifacts.
 ):
     """Fused-decoder forward; mirrors models.Decoder.__call__ exactly for
     batch 1, kernel_size 1, explicit noise. Returns rgb (1, H*up, W*up, 3)."""
@@ -84,9 +90,20 @@ def decoder_fused_apply(
     log_out = int(math.log2(size_end))
     n_latent = (log_out - log_in) * 2 + 2
     assert styles.shape[1] == n_latent, styles.shape
-    assert noise is not None and len(noise) == (log_out - log_in) * 2 + 1
+    n_noise = (log_out - log_in) * 2 + 1
+    if noise_seed is None:
+        assert noise is not None and len(noise) == n_noise
+    elif noise is None:
+        noise = [None] * n_noise
 
     dt = jnp.dtype(dtype)
+
+    def get_noise(idx, h, w):
+        """(1, h, w, 1) buffer for the XLA-side layers: explicit when
+        given, else the hash realization for layer idx."""
+        if noise[idx] is not None:
+            return noise[idx]
+        return hash_noise_map(h, w, layer_seed(noise_seed, idx))[None]
 
     def styled_conv(node, x, style, nbuf):
         w = _conv_weight(node["conv"], style)
@@ -103,8 +120,9 @@ def decoder_fused_apply(
             out = out + skip
         return out
 
+    cur = features.shape[1]
     x = styled_conv(dec_params["conv1"], features.astype(jnp.float32),
-                    styles[:, 0], noise[0])
+                    styles[:, 0], get_noise(0, cur, cur))
     skip = to_rgb(dec_params["to_rgb1"], x, styles[:, 1], None, False)
 
     if fuse_res is None:
@@ -116,6 +134,8 @@ def decoder_fused_apply(
         up = res in upsample_list
         ca = dec_params[f"convs_{2 * block}"]
         cb = dec_params[f"convs_{2 * block + 1}"]
+        if up:
+            cur *= 2
         if up and res not in fuse_res:
             # XLA up-block: same decomposition as the kernel (matmul at the
             # previous resolution, shift-add separable 2x upsample, noise,
@@ -125,9 +145,13 @@ def decoder_fused_apply(
             wa = _conv_weight(ca["conv"], styles[:, layer_i])
             y1 = _matmul_img(x, wa, dt)
             h = upsample2x(y1)
-            h = h + ca["noise"]["weight"].reshape(()) * noise[noise_i]
+            h = h + ca["noise"]["weight"].reshape(()) * get_noise(
+                noise_i, cur, cur
+            )
             h = fused_leaky_relu(h, ca["act_bias"])
-            x = styled_conv(cb, h, styles[:, layer_i + 1], noise[noise_i + 1])
+            x = styled_conv(
+                cb, h, styles[:, layer_i + 1], get_noise(noise_i + 1, cur, cur)
+            )
         elif up:
             # fused block: conv_a matmul at the previous resolution (XLA),
             # then upsample+noise+act+conv_b+noise+act+ToRGB in one kernel
@@ -146,16 +170,31 @@ def decoder_fused_apply(
                 else None
             )
             hp = y1.shape[1]
+            if noise_seed is not None and noise[noise_i] is None:
+                n_a = n_b = None
+                seeds = jnp.stack(
+                    [
+                        layer_seed(noise_seed, noise_i),
+                        layer_seed(noise_seed, noise_i + 1),
+                    ]
+                )
+            else:
+                # bf16 serving: the (.., P<128)-minor noise tiles lane-pad
+                # to 128 in the kernel's layout; bf16 halves that DMA
+                n_a = noise[noise_i][0].astype(dt)
+                n_b = noise[noise_i + 1][0].astype(dt)
+                seeds = None
             out = decoder_block_packed(
-                y1[0],
-                noise[noise_i][0],
-                noise[noise_i + 1][0],
+                y1[0].astype(dt),
+                n_a,
+                n_b,
                 wb,
                 ca["act_bias"],
                 cb["act_bias"],
                 ca["noise"]["weight"].reshape(()),
                 cb["noise"]["weight"].reshape(()),
                 wrgb=wrgb,
+                noise_seeds=seeds,
                 t_rows=min(8, hp),
                 interpret=interpret,
                 out_dtype=dt,
@@ -176,8 +215,12 @@ def decoder_fused_apply(
             block += 1
             continue
         else:
-            x = styled_conv(ca, x, styles[:, layer_i], noise[noise_i])
-            x = styled_conv(cb, x, styles[:, layer_i + 1], noise[noise_i + 1])
+            x = styled_conv(
+                ca, x, styles[:, layer_i], get_noise(noise_i, cur, cur)
+            )
+            x = styled_conv(
+                cb, x, styles[:, layer_i + 1], get_noise(noise_i + 1, cur, cur)
+            )
         skip = to_rgb(
             dec_params[f"to_rgbs_{block}"], x, styles[:, layer_i + 2], skip, up
         )

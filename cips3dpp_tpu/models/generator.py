@@ -254,6 +254,10 @@ class Generator(nn.Module):
         sample_idx: tuple | None = None,  # (idx_h (B,hs), idx_w (B,ws))
         fused_renderer: bool = False,  # Pallas fast path (inference)
         fused_decoder: bool = False,  # Pallas packed decoder (B=1 serving)
+        noise_seed=None,  # uint32: procedural hash noise for the fused
+        # decoder (fixed deterministic realization per seed, zero HBM
+        # noise traffic; kernels/decoder_block.hash_noise_map). Serving
+        # convenience — explicit noise_bufs take priority.
     ):
         c = self.cfg
         img_size = img_size or c.img_size
@@ -346,7 +350,7 @@ class Generator(nn.Module):
                 # with the flax Decoder; bf16-matmul numerics.
                 from ..kernels.decoder_fused import decoder_fused_apply
 
-                if noise_bufs is None:
+                if noise_bufs is None and noise_seed is None:
                     noise_bufs = self.decoder.make_noise(
                         self.make_rng("noise"), features.shape[1]
                     )
@@ -360,6 +364,7 @@ class Generator(nn.Module):
                     size_end=c.decoder.size_end,
                     channel_multiplier=c.decoder.channel_multiplier,
                     dtype=jnp.dtype(c.decoder.dtype),
+                    noise_seed=None if noise_bufs is not None else noise_seed,
                 )
             else:
                 rgb = self.decoder(features, style_decoder, noise=noise_bufs)

@@ -271,6 +271,90 @@ def test_decoder_block_packed_rgb_fold(c):
     np.testing.assert_array_equal(np.asarray(rgb_only), np.asarray(rgb))
 
 
+def test_decoder_block_packed_hash_noise():
+    """In-kernel hash noise (serving): the kernel with noise_seeds must
+    equal the kernel fed the SAME realization as explicit buffers
+    (hash_noise_map is the jnp oracle of the in-kernel generator), and the
+    realization must be sane N(0,1)."""
+    from cips3dpp_tpu.kernels.decoder_block import (
+        decoder_block_packed,
+        hash_noise_map,
+    )
+
+    c, hp, wp = 32, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(5), 5)
+    y1 = jax.random.normal(ks[0], (hp, wp, c))
+    w2 = jax.random.normal(ks[1], (c, c)) / np.sqrt(c)
+    b1 = jax.random.normal(ks[2], (c,)) * 0.1
+    b2 = jax.random.normal(ks[3], (c,)) * 0.1
+    seeds = jnp.asarray([123, 456], jnp.uint32)
+    n1 = hash_noise_map(2 * hp, 2 * wp, seeds[0])
+    n2 = hash_noise_map(2 * hp, 2 * wp, seeds[1])
+
+    # statistics of the hash realization at scale
+    big = np.asarray(hash_noise_map(256, 256, jnp.uint32(9)))
+    assert abs(big.mean()) < 0.02 and abs(big.std() - 1.0) < 0.02
+    # rows decorrelated
+    flat = big.reshape(256, 256)
+    corr = np.corrcoef(flat[:-1].ravel(), flat[1:].ravel())[0, 1]
+    assert abs(corr) < 0.02
+
+    out_hash = decoder_block_packed(
+        y1, None, None, w2, b1, b2, 0.3, -0.2, noise_seeds=seeds,
+        t_rows=8, interpret=True,
+    )
+    out_buf = decoder_block_packed(
+        y1, n1, n2, w2, b1, b2, 0.3, -0.2,
+        t_rows=8, interpret=True,
+    )
+    # same realization up to cross-program FMA-contraction noise (XLA may
+    # fuse a*b+c differently in separately compiled programs)
+    np.testing.assert_allclose(
+        np.asarray(out_hash), np.asarray(out_buf), rtol=0, atol=5e-3
+    )
+
+
+def test_decoder_fused_apply_noise_seed():
+    """Seed-driven decoder == buffer-driven decoder when the buffers are
+    the seed's own hash realization (layer_seed contract)."""
+    from cips3dpp_tpu.models.decoder import Decoder
+    from cips3dpp_tpu.kernels.decoder_fused import decoder_fused_apply
+    from cips3dpp_tpu.kernels.decoder_block import (
+        hash_noise_map,
+        layer_seed,
+    )
+
+    dec = Decoder(
+        size_start=4, size_end=1024, in_channel=64, channel_multiplier=2,
+        kernel_size=1, upsample_list=(128, 256, 512, 1024),
+    )
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64))
+    styles = jax.random.normal(jax.random.PRNGKey(2), (1, dec.n_latent, 512))
+    ref_noise = dec.make_noise(jax.random.PRNGKey(3), 8)
+    variables = dec.init(key, feats, styles, ref_noise)
+
+    seed = 42
+    bufs = [
+        hash_noise_map(s[1], s[2], layer_seed(seed, i))[None]
+        for i, s in enumerate(dec.noise_shapes(8))
+    ]
+    out_seed = decoder_fused_apply(
+        variables["params"], feats, styles, None,
+        upsample_list=(128, 256, 512, 1024),
+        dtype=jnp.float32, interpret=True, noise_seed=seed,
+    )
+    out_bufs = decoder_fused_apply(
+        variables["params"], feats, styles, bufs,
+        upsample_list=(128, 256, 512, 1024),
+        dtype=jnp.float32, interpret=True,
+    )
+    # same realization up to cross-program FMA-contraction noise
+    np.testing.assert_allclose(
+        np.asarray(out_seed), np.asarray(out_bufs), rtol=0, atol=1e-2
+    )
+
+
 def test_decoder_fused_apply_parity():
     """Full fused serving decoder (interpret mode) vs the flax Decoder on
     the real flagship channel schedule at 1/8 spatial size."""
