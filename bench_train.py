@@ -50,14 +50,20 @@ def fill_like(tree, scale=0.05, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--d-dtype", default="float32")
-    ap.add_argument("--remat-d", action="store_true")
+    # defaults = the configuration that FITS one v5e's HBM at batch 4
+    # (bf16 Ds + remat_d + chunked lazy-R1); fp32 no-remat OOMs d_step_r1
+    # (17.6 GB vs 15.75) — pass --d-dtype float32 --no-remat-d to reproduce
+    # the memory table in docs/STATUS.md
+    ap.add_argument("--d-dtype", default="bfloat16")
+    ap.add_argument("--remat-d", dest="remat_d", action="store_true",
+                    default=True)
+    ap.add_argument("--no-remat-d", dest="remat_d", action="store_false")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--mem-only", action="store_true")
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--no-donate", action="store_true")
     ap.add_argument("--dec-dtype", default=None, help="decoder compute dtype")
-    ap.add_argument("--r1-chunk", type=int, default=None,
+    ap.add_argument("--r1-chunk", type=int, default=2,
                     help="chunked lazy-R1 grad accumulation (memory)")
     ap.add_argument("--remat-dec", action="store_true",
                     help="per-layer remat inside the G decoder")
