@@ -1,0 +1,82 @@
+"""Interleaved same-process A/B of serving decoder variants.
+
+The shared axon chip drifts up to ~3x across processes, so ONLY same-process
+interleaved comparisons are meaningful (docs/STATUS.md bench policy). Rounds
+interleave variants so contention shows as within-variant spread. The flax
+variant doubles as the drift control.
+
+Usage: python tools/ab_serving.py
+"""
+import os, sys, time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from cips3dpp_tpu.core import camera_from_angles
+from cips3dpp_tpu.models.generator import Generator, preset_serving
+
+print("devices:", jax.devices(), flush=True)
+
+cfg = preset_serving()
+model = Generator(cfg)
+key = jax.random.PRNGKey(0)
+cam = camera_from_angles(jnp.zeros((1,)), jnp.zeros((1,)), cfg.img_size,
+                         fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius)
+zs = (jax.random.normal(jax.random.PRNGKey(1), (1, cfg.mapping.z_dim)),
+      jax.random.normal(jax.random.PRNGKey(2), (1, cfg.mapping.z_dim)))
+params = jax.jit(lambda k: model.init(
+    {"params": k, "perturb": k, "noise": k}, zs=zs,
+    cam_poses=cam.extrinsics, focals=cam.focal, near=cam.near, far=cam.far,
+))(key)
+noise_bufs = model.bind(params).decoder.make_noise(jax.random.PRNGKey(7),
+                                                   cfg.img_size)
+
+N = 64
+yaw = jnp.linspace(-0.3, 0.3, N).reshape(-1, 1)
+
+
+def make_traj(fused_dec, noise_kw):
+    def frame(carry, az):
+        c = camera_from_angles(az, jnp.zeros((1,)), cfg.img_size,
+                               fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius)
+        out = model.apply(params, zs=zs, cam_poses=c.extrinsics,
+                          focals=c.focal, near=c.near, far=c.far,
+                          perturb=False, fused_renderer=True,
+                          fused_decoder=fused_dec, **noise_kw)
+        return carry + out["rgb"].astype(jnp.float32).mean(), None
+
+    @jax.jit
+    def traj(yaw):
+        c, _ = jax.lax.scan(frame, jnp.zeros(()), yaw)
+        return c
+
+    return traj
+
+
+VARIANTS = [
+    ("flax", False, {"noise_bufs": noise_bufs}),
+    ("fused_bufs", True, {"noise_bufs": noise_bufs}),
+    ("fused_hash", True, {"noise_seed": 7}),
+]
+
+trajs = {}
+for name, fd, kw in VARIANTS:
+    t0 = time.perf_counter()
+    tr = make_traj(fd, kw)
+    float(tr(yaw))
+    print(f"compiled {name} in {time.perf_counter()-t0:.0f}s", flush=True)
+    trajs[name] = tr
+
+results = {n: [] for n, _, _ in VARIANTS}
+for rnd in range(4):
+    for name, _, _ in VARIANTS:
+        t0 = time.perf_counter()
+        float(trajs[name](yaw))
+        dt = (time.perf_counter() - t0) / N * 1e3
+        results[name].append(dt)
+    print(f"round {rnd}: " + " ".join(
+        f"{n}={results[n][-1]:.2f}ms" for n in results), flush=True)
+
+for n, v in results.items():
+    print(f"{n}: med {np.median(v):.3f} ms min {min(v):.3f} ms", flush=True)
