@@ -22,5 +22,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compile cache: the suite is compile-bound on this 1-core
+# host (~50 min cold); re-runs hit the cache and skip XLA entirely.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+except Exception:
+    pass
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,162 @@
+"""Numerical 1-device vs 8-device data-parallel equivalence.
+
+The reference could only prove DDP correctness by launching N GPUs
+(exp/tests/test_cips3dpp.py:817-818) and never asserted numerical
+equivalence. Here the same jitted step runs with mesh=None and on the
+8-device CPU mesh with the SAME rng keys and global batch; GSPMD's
+psum-via-global-mean must reproduce the single-device result (the
+semantics of ddp_utils.sync_gradients' all-reduce/world,
+exp/stylesdf/models/distributed.py:57-66) to reduction-order tolerance.
+
+Covers every step variant the dryrun exercises: d_step (incl. lazy R1
+grad-of-grad), g_step (eikonal vjp), path_step (double backward), and
+ema_update.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cips3dpp_tpu.core import sample_cameras
+from cips3dpp_tpu.models.generator import (
+    Generator,
+    GeneratorConfig,
+    RendererConfig,
+    DecoderConfig,
+)
+from cips3dpp_tpu.models.discriminator import DStyleGANProgressive
+from cips3dpp_tpu.models.discriminator_pose import DVolumeRenderProgressive
+from cips3dpp_tpu.train.state import TrainConfig, create_train_state
+from cips3dpp_tpu.train.steps import make_train_steps, ema_update
+from cips3dpp_tpu.parallel import make_mesh, shard_pytree
+
+
+def _max_abs_diff(a, b):
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    assert len(leaves_a) == len(leaves_b)
+    return max(
+        float(jnp.max(jnp.abs(x.astype(jnp.float32) - y.astype(jnp.float32))))
+        for x, y in zip(leaves_a, leaves_b)
+    )
+
+
+@pytest.fixture(scope="module")
+def equiv_setup():
+    # dryrun-sized graph: 3 decoder blocks, right-sized Ds (keeps the four
+    # XLA-CPU compiles in the low minutes on a 1-core host)
+    gen_cfg = GeneratorConfig(
+        renderer=RendererConfig(n_layers=2, hidden_dim=32),
+        decoder=DecoderConfig(
+            size_end=32, upsample_list=(16,), style_dim=64, mapping_n_layers=2
+        ),
+        img_size=8,
+        n_samples=4,
+    )
+    train_cfg = TrainConfig(batch=8)
+    gen = Generator(gen_cfg)
+    out_size = gen_cfg.out_size
+    d_dec = DStyleGANProgressive(input_size=out_size, channel_multiplier=1)
+    d_ren = DVolumeRenderProgressive(input_size=gen_cfg.img_size)
+
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=gen_cfg.img_size)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    state, _ = create_train_state(
+        jax.random.PRNGKey(0),
+        gen_cfg,
+        train_cfg,
+        lambda k: d_dec.init(k, jnp.zeros((2, out_size, out_size, 3))),
+        lambda k: d_ren.init(
+            k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3))
+        ),
+        lambda k: gen.init(
+            {"params": k, "perturb": k, "noise": k},
+            zs=zs,
+            cam_poses=cam.extrinsics,
+            focals=cam.focal,
+            near=cam.near,
+            far=cam.far,
+        ),
+    )
+    # Plain SGD(lr=1): params' - params == -grad, so the param comparison
+    # IS the gradient comparison (DDP gather_grad/world semantics). Adam
+    # with b1=0 would amplify reduction-order noise on near-zero grads to
+    # +-lr (first update ~ lr*sign(g)), making tolerances meaningless.
+    import optax
+
+    txs = (optax.sgd(1.0), optax.sgd(1.0), optax.sgd(1.0))
+    state = state.replace(
+        opt_g=txs[0].init(state.params_g),
+        opt_d=txs[1].init(state.params_d),
+        opt_d_render=txs[2].init(state.params_d_render),
+    )
+
+    steps_1 = make_train_steps(gen, d_dec, d_ren, gen_cfg, train_cfg, txs)
+    mesh = make_mesh(8)
+    steps_8 = make_train_steps(
+        gen, d_dec, d_ren, gen_cfg, train_cfg, txs, mesh=mesh
+    )
+    real = jax.random.normal(
+        jax.random.PRNGKey(2), (train_cfg.batch, out_size, out_size, 3)
+    )
+    return state, steps_1, steps_8, mesh, real
+
+
+@pytest.mark.slow
+def test_d_step_mesh_equivalence(equiv_setup):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state, steps_1, steps_8, mesh, real = equiv_setup
+    s1, m1 = steps_1[0](state, real, jax.random.PRNGKey(3), 0.5, d_regularize=True)
+
+    state_m = shard_pytree(mesh, state)
+    real_m = jax.device_put(real, NamedSharding(mesh, P("data", None, None, None)))
+    s8, m8 = steps_8[0](state_m, real_m, jax.random.PRNGKey(3), 0.5, d_regularize=True)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+    assert _max_abs_diff(s1.params_d, s8.params_d) < 1e-4
+    assert _max_abs_diff(s1.params_d_render, s8.params_d_render) < 1e-4
+
+
+@pytest.mark.slow
+def test_g_step_mesh_equivalence(equiv_setup):
+    state, steps_1, steps_8, mesh, _ = equiv_setup
+    s1, m1 = steps_1[1](state, jax.random.PRNGKey(4), 0.5)
+    s8, m8 = steps_8[1](shard_pytree(mesh, state), jax.random.PRNGKey(4), 0.5)
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+    assert _max_abs_diff(s1.params_g, s8.params_g) < 1e-4
+
+
+@pytest.mark.slow
+def test_path_step_mesh_equivalence(equiv_setup):
+    state, steps_1, steps_8, mesh, _ = equiv_setup
+    s1, m1 = steps_1[2](state, jax.random.PRNGKey(5))
+    s8, m8 = steps_8[2](shard_pytree(mesh, state), jax.random.PRNGKey(5))
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=1e-4, atol=1e-5, err_msg=k
+        )
+    assert _max_abs_diff(s1.params_g, s8.params_g) < 1e-4
+    np.testing.assert_allclose(
+        float(s1.mean_path_length), float(s8.mean_path_length), rtol=1e-5
+    )
+
+
+def test_ema_update_mesh_equivalence(equiv_setup):
+    state, _, _, mesh, _ = equiv_setup
+    # perturb params so ema actually moves
+    bumped = state.replace(
+        params_g=jax.tree.map(lambda x: x + 0.01, state.params_g)
+    )
+    s1 = ema_update(bumped, 0.99)
+    s8 = ema_update(shard_pytree(mesh, bumped), 0.99)
+    assert _max_abs_diff(s1.params_g_ema, s8.params_g_ema) < 1e-6
+    leaf = jax.tree.leaves(s8.params_g_ema)[0]
+    assert leaf.sharding.is_fully_replicated
