@@ -251,24 +251,24 @@ def render_trajectory(
     project_noise: bool = False,
     project_noise_key=None,
     project_noise_max_res: int = 256,
+    noise_seed=None,
 ):
     """Render every frame of a camera trajectory with fixed latents
     (_sample_multi_view_web hot loop, render_video_web_v10.py:1806-1824).
 
     project_noise=True enables geometry-aware noise (model_v3.py:344-415).
+    noise_seed: procedural in-kernel hash noise instead of buffers —
+    measured SLOWER than bf16 buffers on v5e (Box-Muller transcendentals
+    cost more than the padded DMA they save), so buffers stay the default.
     Returns dict of stacked host arrays: rgb (N,H,W,3) in [-1,1], thumb,
     depth, xyz."""
     style_render, style_decoder = get_styles(model, params, zs, truncation, mean_latents)
-    # (in-kernel hash noise exists as a zero-HBM option, but measured
-    # SLOWER than bf16 buffers on v5e — Box-Muller transcendentals cost
-    # more than the padded DMA they save; buffers stay the default)
-    noise_seed = None
     if noise_bufs is None and noise_seed is None:
         bound = model.bind(params)
         noise_bufs = bound.decoder.make_noise(
             jax.random.PRNGKey(0), model.cfg.img_size
         )
-    if zero_noise:
+    if zero_noise and noise_bufs is not None:
         noise_bufs = [jnp.zeros_like(b) for b in noise_bufs]
     projector = None
     if project_noise:

@@ -137,8 +137,10 @@ def main():
                 st.sidebar.number_input(name, value=int(default), step=1)
             )
         elif kind is float:
+            # number_input, not slider: a slider needs static bounds and any
+            # future float mode-arg with a default outside [0,1] would raise
             values[name] = float(
-                st.sidebar.slider(name, 0.0, 1.0, float(default))
+                st.sidebar.number_input(name, value=float(default))
             )
         elif kind in ("path", "paths"):
             values[name] = st.sidebar.text_input(name, value=str(default))

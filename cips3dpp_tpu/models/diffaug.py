@@ -50,7 +50,9 @@ def rand_translation(x, key, ratio: float = 0.125):
     return out * valid[..., None].astype(x.dtype)
 
 
-def rand_cutout(x, key, ratio: float = 0.5):
+def rand_cutout(x, key, ratio: float = 0.2):
+    # ratio 0.2: this fork's value (exp/cips3d/models/diffaug.py:67), not the
+    # published DiffAugment default of 0.5 — training-dynamics parity.
     b, h, w, _ = x.shape
     kh, kw = jax.random.split(key)
     ch = int(h * ratio + 0.5)

@@ -216,20 +216,41 @@ class Generator(nn.Module):
         )
         return style_render, style_decoder
 
-    def map_zs(self, zs, truncation=1.0, mean_latents=None):
+    def map_zs(self, zs, truncation=1.0, mean_latents=None, inject_index=None):
         """zs -> per-layer styles with optional truncation
-        (model_v3.py:1299-1348). mean_latents: (w_render_mean, w_decoder_mean)."""
+        (model_v3.py:1299-1378). mean_latents: (w_render_mean, w_decoder_mean).
+
+        zs = (z_render, z_decoder[, z_decoder_2]). With a third z, the decoder
+        w+ is a mid-layer crossover: layers [0, inject_index) take w(z_decoder),
+        the rest take w(z_decoder_2) (mapping_decoder, model_v3.py:1350-1378;
+        reference default inject_index = n_latent, i.e. all-first)."""
         w_render = self.mapping_renderer_w(zs[0])
-        w_decoder = self.mapping_decoder_w(zs[1])
+        w_decs = [self.mapping_decoder_w(z) for z in zs[1:]]
         if mean_latents is not None:
             wr_mean, wd_mean = mean_latents
             w_render = wr_mean + truncation * (w_render - wr_mean)
-            w_decoder = wd_mean + truncation * (w_decoder - wd_mean)
-        return self._broadcast_styles(w_render, w_decoder)
+            w_decs = [wd_mean + truncation * (w - wd_mean) for w in w_decs]
+        if len(w_decs) == 1:
+            return self._broadcast_styles(w_render, w_decs[0])
+        n_render = self.cfg.renderer.n_layers + 1
+        style_render = jnp.repeat(w_render[:, None, :], n_render, axis=1)
+        n_latent = self.decoder.n_latent
+        if inject_index is None:
+            inject_index = n_latent  # model_v3.py:1369-1371
+        assert 0 < inject_index <= n_latent, inject_index
+        s1 = jnp.repeat(w_decs[0][:, None, :], inject_index, axis=1)
+        if inject_index == n_latent:
+            style_decoder = s1
+        else:
+            s2 = jnp.repeat(
+                w_decs[1][:, None, :], n_latent - inject_index, axis=1
+            )
+            style_decoder = jnp.concatenate([s1, s2], axis=1)
+        return style_render, style_decoder
 
-    def get_ws(self, zs, truncation, mean_latents):
+    def get_ws(self, zs, truncation, mean_latents, inject_index=None):
         """w-plus latents for inversion/style-mixing (model_v3.py:1472-1490)."""
-        return self.map_zs(zs, truncation, mean_latents)
+        return self.map_zs(zs, truncation, mean_latents, inject_index)
 
     # ----- forward ---------------------------------------------------------
 
@@ -254,6 +275,8 @@ class Generator(nn.Module):
         sample_idx: tuple | None = None,  # (idx_h (B,hs), idx_w (B,ws))
         fused_renderer: bool = False,  # Pallas fast path (inference)
         fused_decoder: bool = False,  # Pallas packed decoder (B=1 serving)
+        inject_index: int | None = None,  # decoder-style crossover layer
+        # when zs carries a third (second decoder) z; see map_zs
         noise_seed=None,  # uint32: procedural hash noise for the fused
         # decoder (fixed deterministic realization per seed, zero HBM
         # noise traffic; kernels/decoder_block.hash_noise_map). Serving
@@ -266,16 +289,16 @@ class Generator(nn.Module):
 
         # mapping (skipped when explicit styles are given, as in inversion)
         if style_render is None or style_decoder is None:
-            assert zs is not None and len(zs) == 2
+            assert zs is not None and len(zs) in (2, 3)
             zs = list(zs)
             if c.freeze_renderer:
                 # frozen renderer branch (model_v3.py:917-919)
-                sr, sd = self.map_zs(zs, truncation, mean_latents)
+                sr, sd = self.map_zs(zs, truncation, mean_latents, inject_index)
                 style_render = jax.lax.stop_gradient(sr)
                 style_decoder = sd if style_decoder is None else style_decoder
             else:
                 style_render, style_decoder = self.map_zs(
-                    zs, truncation, mean_latents
+                    zs, truncation, mean_latents, inject_index
                 )
         if path_reg:
             # Path-length reg differentiates wrt the decoder styles only

@@ -287,18 +287,26 @@ def make_train_steps(
                 else (lambda p, x, k: dd_apply(p, x, alpha, k))
             )
 
-            def r1_loss(p, imgs):
-                return coef * r1_penalty(lambda x: ddr1(p, x, k_a3), imgs)
+            def r1_loss(p, imgs, k_aug):
+                return coef * r1_penalty(lambda x: ddr1(p, x, k_aug), imgs)
 
-            def body(acc, chunk):
+            def body(acc, chunk_and_key):
+                chunk, k_aug = chunk_and_key
                 acc_g, acc_v = acc
-                val, g = jax.value_and_grad(r1_loss)(state.params_d, chunk)
+                val, g = jax.value_and_grad(r1_loss)(
+                    state.params_d, chunk, k_aug
+                )
                 acc_g = jax.tree.map(lambda a, gi: a + gi / nc, acc_g, g)
                 return (acc_g, acc_v + val / nc), None
 
             zero_g = jax.tree.map(jnp.zeros_like, gd)
+            # Per-chunk diffaug keys: reusing k_a3 across chunks would draw
+            # identical augmentation parameters for every chunk, silently
+            # collapsing the penalty's augmentation diversity vs the fused
+            # single-pass R1 (which draws one per-sample set over the batch).
+            chunk_keys = jax.random.split(k_a3, nc)
             (r1_g, r1_val), _ = jax.lax.scan(
-                body, (zero_g, jnp.zeros(())), chunks
+                body, (zero_g, jnp.zeros(())), (chunks, chunk_keys)
             )
             gd = jax.tree.map(jnp.add, gd, r1_g)
             loss = loss + r1_val

@@ -228,3 +228,43 @@ def test_d_multiscale():
     o1, *_ = d.apply(p, x64, alpha=1.0)
     o2, *_ = d.apply(p, x128, alpha=1.0)
     assert o1.shape == o2.shape == (2, 1)
+
+
+def test_map_zs_inject_index_crossover(tiny_gen):
+    """Mid-layer decoder-style crossover (mapping_decoder,
+    model_v3.py:1350-1378): with a third z, layers [0, inject_index) carry
+    w(z1) and the rest w(z2); default inject_index = n_latent (all-first)."""
+    model, params, cam, zs = tiny_gen
+    z2 = jax.random.normal(jax.random.PRNGKey(11), zs[1].shape)
+    n_latent = model.bind(params).decoder.n_latent
+
+    _, sd_single = model.apply(params, zs, method=Generator.map_zs)
+    _, sd_other = model.apply(params, (zs[0], z2), method=Generator.map_zs)
+
+    k = n_latent // 2
+    _, sd_mix = model.apply(
+        params, (zs[0], zs[1], z2), inject_index=k, method=Generator.map_zs
+    )
+    assert sd_mix.shape == sd_single.shape
+    np.testing.assert_allclose(sd_mix[:, :k], sd_single[:, :k], rtol=1e-6)
+    np.testing.assert_allclose(sd_mix[:, k:], sd_other[:, k:], rtol=1e-6)
+
+    # reference default: inject_index=None with two decoder z's = all-first
+    _, sd_default = model.apply(
+        params, (zs[0], zs[1], z2), method=Generator.map_zs
+    )
+    np.testing.assert_allclose(sd_default, sd_single, rtol=1e-6)
+
+    # end-to-end: forward accepts a 3-z tuple + inject_index
+    out = model.apply(
+        params,
+        zs=(zs[0], zs[1], z2),
+        inject_index=k,
+        cam_poses=cam.extrinsics,
+        focals=cam.focal,
+        near=cam.near,
+        far=cam.far,
+        perturb=False,
+        rngs={"noise": jax.random.PRNGKey(9)},
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
