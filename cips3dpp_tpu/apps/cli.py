@@ -75,9 +75,19 @@ def _load_params(model, gcfg, cfg, key=None):
         from ..io.torch_import import (
             load_torch_checkpoint,
             import_generator_state_dict,
+            validate_torch_state_dict,
         )
 
         sd = load_torch_checkpoint(ckpt)
+        # fail loudly on any key/shape mismatch vs the architecture-derived
+        # manifest before importing a single tensor
+        report = validate_torch_state_dict(sd, params, strict=True)
+        if report["unexpected"]:
+            print(
+                f"[cli] {len(report['unexpected'])} unexpected state-dict "
+                f"keys ignored: {report['unexpected'][:5]} ...",
+                file=sys.stderr,
+            )
         import math
 
         n_blocks = int(math.log2(gcfg.decoder.size_end)) - int(
@@ -455,25 +465,16 @@ def cmd_invert(argv):
     import jax
     from PIL import Image
     from .inversion import Projector, InversionConfig
-    from ..models.vgg import init_vgg, import_torchvision_vgg16
     from ..io.config import train_config_from_dict
-    from ..io.torch_import import load_torch_checkpoint
+    from ..io.weights import load_vgg, load_lpips
 
     model, gcfg = _build_generator(cfg)
     params = _load_params(model, gcfg, cfg)
-    if args.vgg:
-        vgg = import_torchvision_vgg16(load_torch_checkpoint(args.vgg))
-    else:
-        print("[cli] no --vgg weights: random-VGG perceptual loss "
-              "(reference 'vgg16_conv_random' mode)", file=sys.stderr)
-        vgg = init_vgg(jax.random.PRNGKey(0))
-    lpips_vars = None
-    if args.lpips and args.vgg:
-        from ..utils.lpips import import_lpips_torch
-
-        lpips_vars = import_lpips_torch(
-            load_torch_checkpoint(args.vgg), load_torch_checkpoint(args.lpips)
-        )
+    # --vgg/--lpips override; otherwise $CIPS3DPP_WEIGHTS_DIR is consulted
+    vgg, vgg_prov = load_vgg(path=args.vgg)
+    lpips_vars, lpips_prov = load_lpips(vgg_path=args.vgg, lin_path=args.lpips)
+    if lpips_prov == "random":
+        lpips_vars = None  # Projector tags its own random fallback
 
     import dataclasses
 
@@ -499,7 +500,7 @@ def cmd_invert(argv):
     )
     # explicit weight provenance so random-VGG smoke runs can't be mistaken
     # for real quality numbers
-    report["vgg_weights"] = "imported" if args.vgg else "random"
+    report["vgg_weights"] = vgg_prov
     u8 = ((np.clip(proj_img[0], -1, 1) + 1) * 127.5).astype(np.uint8)
     Image.fromarray(u8).save(f"{args.outdir}/proj.png")
     proj.save_inversion(f"{args.outdir}/w.pkl", state)
@@ -724,20 +725,13 @@ def cmd_eval_fid(argv):
 
     import jax
     from ..io.dataset import open_dataset, data_iterator
-    from ..models.inception import init_inception, import_torch_inception
+    from ..io.weights import load_inception
     from .eval_fid import eval_fid
 
     model, gcfg = _build_generator(cfg)
     params = _load_params(model, gcfg, cfg)
-    if args.inception:
-        from ..io.torch_import import load_torch_checkpoint
-
-        incep = import_torch_inception(load_torch_checkpoint(args.inception))
-    else:
-        print("[cli] no --inception weights: random-feature FID "
-              "(relative metric only, not comparable to published FID)",
-              file=sys.stderr)
-        incep = init_inception(jax.random.PRNGKey(0))
+    # --inception overrides; otherwise $CIPS3DPP_WEIGHTS_DIR is consulted
+    incep, incep_prov = load_inception(path=args.inception)
 
     ds = open_dataset(args.data, resolution=gcfg.out_size)
     it = data_iterator(ds, args.batch, seed=args.seed)
@@ -747,7 +741,7 @@ def cmd_eval_fid(argv):
                    batch_size=args.batch, key=jax.random.PRNGKey(args.seed),
                    with_kid=args.kid)
     out = dataclasses_asdict(res)
-    out["inception_weights"] = "imported" if args.inception else "random"
+    out["inception_weights"] = incep_prov
     print(json.dumps(out))
 
 

@@ -410,19 +410,22 @@ class Projector:
         out = self._forward(tree, jax.random.PRNGKey(0), False)
         proj = np.asarray(out["rgb"])
         # PSNR/SSIM/LPIPS report (projector_v10.py:1266-1275)
-        from ..utils.lpips import lpips as lpips_fn, init_lpips
+        from ..utils.lpips import lpips as lpips_fn
+        from ..io.weights import load_lpips
 
         lpips_vars = self.lpips_variables
-        lpips_random = lpips_vars is None
-        if lpips_random:
-            lpips_vars = init_lpips(jax.random.PRNGKey(0))
+        if lpips_vars is None:
+            # consults $CIPS3DPP_WEIGHTS_DIR; tagged random fallback otherwise
+            lpips_vars, lpips_prov = load_lpips(jax.random.PRNGKey(0))
+        else:
+            lpips_prov = "imported"
         report = {
             "psnr": float(psnr(jnp.asarray(proj[0]), target[0])),
             "ssim": float(ssim(jnp.asarray(proj[0]), target[0])),
             "lpips": float(
                 lpips_fn(lpips_vars, jnp.asarray(proj[:1]), target[:1])
             ),
-            "lpips_weights": "random" if lpips_random else "imported",
+            "lpips_weights": lpips_prov,
             "loss": float(metrics.get("loss", np.nan)),
             "azim": np.asarray(state.azim).ravel().tolist(),
             "elev": np.asarray(state.elev).ravel().tolist(),

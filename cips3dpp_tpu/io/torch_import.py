@@ -152,6 +152,73 @@ def import_generator_state_dict(
     )}
 
 
+#: state-dict keys the importer intentionally ignores: Blur/Upsample FIR
+#: buffers (constants rebuilt from blur_kernel) and fixed noise buffers
+#: (explicit arrays in this framework, model_v3.py:1044-1046).
+IGNORED_KEY_MARKERS = (".kernel", "noises.", "noise_")
+
+
+def state_dict_manifest(variables: dict) -> dict:
+    """Expected torch state-dict {key: shape}, auto-derived from the flax
+    variable tree via the inverse (export) mapping — the architecture is the
+    single source of truth, so a released `G_ema.pth` that doesn't match it
+    fails loudly instead of importing garbage."""
+    return {
+        k: tuple(np.asarray(v).shape)
+        for k, v in export_generator_state_dict(variables).items()
+    }
+
+
+def validate_torch_state_dict(
+    torch_sd: Mapping[str, np.ndarray], variables: dict, strict: bool = True
+) -> dict:
+    """Check a torch state dict against the architecture-derived manifest.
+
+    Returns {"missing": [...], "shape_mismatch": {key: (want, got)},
+    "ignored": [...], "unexpected": [...]}. With strict=True raises
+    ValueError on missing keys or shape mismatches (unexpected extra keys
+    only warn — forward-compatible with reference-side additions)."""
+    manifest = state_dict_manifest(variables)
+    missing = sorted(k for k in manifest if k not in torch_sd)
+    shape_mismatch = {
+        k: (manifest[k], tuple(np.asarray(torch_sd[k]).shape))
+        for k in manifest
+        if k in torch_sd and tuple(np.asarray(torch_sd[k]).shape) != manifest[k]
+    }
+    extra = [k for k in torch_sd if k not in manifest]
+    ignored = sorted(
+        k for k in extra if any(m in k for m in IGNORED_KEY_MARKERS)
+    )
+    unexpected = sorted(set(extra) - set(ignored))
+    report = {
+        "n_expected": len(manifest),
+        "n_matched": len(manifest) - len(missing) - len(shape_mismatch),
+        "missing": missing,
+        "shape_mismatch": shape_mismatch,
+        "ignored": ignored,
+        "unexpected": unexpected,
+    }
+    if strict and (missing or shape_mismatch):
+        lines = [
+            f"torch state dict does not match the model architecture "
+            f"({report['n_matched']}/{report['n_expected']} keys match):"
+        ]
+        for k in missing[:20]:
+            lines.append(f"  missing: {k}  (want shape {manifest[k]})")
+        for k, (want, got) in list(shape_mismatch.items())[:20]:
+            lines.append(f"  shape mismatch: {k}  want {want}, got {got}")
+        if len(missing) > 20 or len(shape_mismatch) > 20:
+            lines.append(
+                f"  ... and {max(0, len(missing) - 20) + max(0, len(shape_mismatch) - 20)} more"
+            )
+        lines.append(
+            "Check the G_cfg (renderer n_layers / decoder size_end / mapping "
+            "depths) matches the checkpoint's config_command.yaml."
+        )
+        raise ValueError("\n".join(lines))
+    return report
+
+
 def export_generator_state_dict(variables: dict) -> dict:
     """Inverse mapping (flax -> torch names/layouts), for round-trip tests and
     for users exporting back to the reference toolchain."""
