@@ -789,14 +789,20 @@ def cmd_sphere_init(argv):
 
 
 def cmd_prepare_data(argv):
-    p = _base_parser("dataset preparation (images -> npy shards)")
+    p = _base_parser("dataset preparation (images -> npy shards or LMDB)")
     p.add_argument("--src", type=str, required=True)
     p.add_argument("--sizes", type=int, nargs="*", default=[1024])
+    p.add_argument("--format", choices=["npy", "lmdb"], default="npy",
+                   help="lmdb = the reference's multi-size format "
+                        "(prepare_data.py:23-80), readable by both stacks")
+    p.add_argument("--n-workers", type=int, default=0,
+                   help="multiprocessing resize workers (0 = in-process)")
     args = p.parse_args(argv)
-    from ..io.dataset import prepare_images
+    from ..io.dataset import prepare_images, prepare_images_lmdb
 
-    out = prepare_images(args.src, args.outdir, sizes=args.sizes)
-    print(json.dumps({"outdir": out}))
+    fn = prepare_images_lmdb if args.format == "lmdb" else prepare_images
+    out = fn(args.src, args.outdir, sizes=args.sizes, n_workers=args.n_workers)
+    print(json.dumps({"outdir": out, "format": args.format}))
 
 
 def cmd_rendering_time(argv):

@@ -160,40 +160,110 @@ def data_iterator(
         yield q.get()
 
 
+def _list_images(src_dir: str):
+    return sorted(
+        os.path.join(src_dir, f)
+        for f in os.listdir(src_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
+    )
+
+
+def _center_crop_resize(args):
+    """Worker: one source image -> {size: uint8 HWC array}. Top-level so it
+    pickles for multiprocessing (the reference's pool worker,
+    prepare_data.py:23-46)."""
+    path, sizes = args
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    s = min(w, h)
+    img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+    return {
+        size: np.asarray(img.resize((size, size), Image.LANCZOS))
+        for size in sizes
+    }
+
+
+def _resized_stream(files, sizes, n_workers: int):
+    """Ordered stream of per-image {size: array} dicts, optionally through a
+    multiprocessing pool (reference: prepare_data.py:69-80)."""
+    work = [(f, tuple(sizes)) for f in files]
+    if n_workers and n_workers > 1:
+        import multiprocessing
+
+        with multiprocessing.Pool(n_workers) as pool:
+            yield from pool.imap(_center_crop_resize, work, chunksize=8)
+    else:
+        yield from map(_center_crop_resize, work)
+
+
 def prepare_images(
     src_dir: str,
     out_dir: str,
     sizes: Sequence[int] = (1024,),
     shard_size: int = 10_000,
+    n_workers: int = 0,
 ):
     """Native prepare tool (reference: prepare_data.py:23-80): center-crop to
-    square, lanczos-resize to each size, write uint8 .npy shards."""
+    square, lanczos-resize to each size, write uint8 .npy shards. One pass
+    over the sources produces every size."""
+    os.makedirs(out_dir, exist_ok=True)
+    files = _list_images(src_dir)
+    shards = {size: [] for size in sizes}
+    shard_idx = {size: 0 for size in sizes}
+
+    def flush(size):
+        if shards[size]:
+            np.save(
+                os.path.join(
+                    out_dir, f"images-{size}-{shard_idx[size]:04d}.npy"
+                ),
+                np.stack(shards[size]),
+            )
+            shards[size] = []
+            shard_idx[size] += 1
+
+    for per_size in _resized_stream(files, sizes, n_workers):
+        for size, arr in per_size.items():
+            shards[size].append(arr)
+            if len(shards[size]) == shard_size:
+                flush(size)
+    for size in sizes:
+        flush(size)
+    return out_dir
+
+
+def prepare_images_lmdb(
+    src_dir: str,
+    out_dir: str,
+    sizes: Sequence[int] = (64, 128, 256, 512, 1024),
+    n_workers: int = 0,
+    quality: int = 100,
+    map_size: int = 1 << 40,
+):
+    """Multi-size LMDB builder matching the reference's tool exactly
+    (prepare_data.py:23-80): keys f"{size}-{idx:05d}" hold JPEG bytes, plus a
+    b"length" count — byte-compatible with both the reference's
+    MultiResolutionDataset (dataset.py:46-49) and LMDBDataset above."""
+    import lmdb  # optional dep; gate at use
     from PIL import Image
 
-    os.makedirs(out_dir, exist_ok=True)
-    files = sorted(
-        os.path.join(src_dir, f)
-        for f in os.listdir(src_dir)
-        if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))
-    )
-    for size in sizes:
-        shard, shard_idx = [], 0
-        for f in files:
-            img = Image.open(f).convert("RGB")
-            w, h = img.size
-            s = min(w, h)
-            img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
-            img = img.resize((size, size), Image.LANCZOS)
-            shard.append(np.asarray(img))
-            if len(shard) == shard_size:
-                np.save(
-                    os.path.join(out_dir, f"images-{size}-{shard_idx:04d}.npy"),
-                    np.stack(shard),
-                )
-                shard, shard_idx = [], shard_idx + 1
-        if shard:
-            np.save(
-                os.path.join(out_dir, f"images-{size}-{shard_idx:04d}.npy"),
-                np.stack(shard),
-            )
+    files = _list_images(src_dir)
+    env = lmdb.open(out_dir, map_size=map_size, readahead=False)
+    try:
+        with env.begin(write=True) as txn:
+            txn.put(b"length", str(len(files)).encode("utf-8"))
+        for idx, per_size in enumerate(_resized_stream(files, sizes, n_workers)):
+            with env.begin(write=True) as txn:
+                for size, arr in per_size.items():
+                    buf = io.BytesIO()
+                    Image.fromarray(arr).save(
+                        buf, format="jpeg", quality=quality
+                    )
+                    txn.put(
+                        f"{size}-{idx:05d}".encode("utf-8"), buf.getvalue()
+                    )
+    finally:
+        env.close()
     return out_dir

@@ -5,6 +5,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cips3dpp_tpu.io.config import (
     load_command_config,
@@ -140,3 +141,49 @@ def test_dataset_iterator(tmp_path):
     it1 = data_iterator(ds, 2, seed=1, shard_index=1, num_shards=2)
     b0, b1 = next(it0), next(it1)
     assert not np.allclose(b0, b1)
+
+
+def _write_src_images(tmp_path, n=3, size=48):
+    from PIL import Image
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        # non-square to exercise the center crop
+        arr = rng.randint(0, 255, (size + 16, size, 3), np.uint8)
+        Image.fromarray(arr).save(src / f"img_{i}.png")
+    return str(src)
+
+
+def test_prepare_images_multi_size_and_workers(tmp_path):
+    """One pass writes every size; the multiprocessing pool path produces
+    identical bytes (reference prepare_data.py:69-80 parity)."""
+    from cips3dpp_tpu.io.dataset import prepare_images, NpyShardDataset
+
+    src = _write_src_images(tmp_path)
+    out1 = prepare_images(src, str(tmp_path / "o1"), sizes=(16, 32))
+    out2 = prepare_images(src, str(tmp_path / "o2"), sizes=(16, 32), n_workers=2)
+    for size in (16, 32):
+        a = np.load(os.path.join(out1, f"images-{size}-0000.npy"))
+        b = np.load(os.path.join(out2, f"images-{size}-0000.npy"))
+        assert a.shape == (3, size, size, 3)
+        np.testing.assert_array_equal(a, b)
+
+
+def test_prepare_images_lmdb_roundtrip(tmp_path):
+    """Reference-format multi-size LMDB write -> read back through
+    LMDBDataset (keys f'{size}-{idx:05d}', b'length')."""
+    lmdb = pytest.importorskip("lmdb")
+    from cips3dpp_tpu.io.dataset import prepare_images_lmdb, LMDBDataset
+
+    src = _write_src_images(tmp_path)
+    out = prepare_images_lmdb(
+        src, str(tmp_path / "lmdb"), sizes=(16, 32), map_size=1 << 26
+    )
+    for size in (16, 32):
+        ds = LMDBDataset(out, resolution=size, hflip=False)
+        assert len(ds) == 3
+        img = ds.get(0, np.random.default_rng(0))
+        assert img.shape == (size, size, 3)
+        assert np.abs(img).max() <= 1.0
