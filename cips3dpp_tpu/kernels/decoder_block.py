@@ -353,6 +353,7 @@ def _packed_kernel(
     emit_feat=True,
     emit_rgb=False,
     hash_noise=False,
+    fold_noise=False,
 ):
     rest = list(rest)
     if hash_noise:
@@ -360,9 +361,15 @@ def _packed_kernel(
         n1_ref = n2_ref = None
     else:
         n1_ref, n2_ref = rest.pop(0), rest.pop(0)
-    (ep_ref, ec_ref, oc_ref, on_ref, en_ref, w2p_ref, b1_ref, b2_ref,
-     nw_ref) = rest[:9]
-    rest = rest[9:]
+    if fold_noise:
+        # extended col-upsample maps already carry nw0*noise rows
+        (me_ref, mo_ref, en_ref, w2p_ref, b1_ref, b2_ref, nw_ref) = rest[:7]
+        rest = rest[7:]
+        ep_ref = ec_ref = oc_ref = on_ref = None
+    else:
+        (ep_ref, ec_ref, oc_ref, on_ref, en_ref, w2p_ref, b1_ref, b2_ref,
+         nw_ref) = rest[:9]
+        rest = rest[9:]
     if emit_rgb:
         wrgbp_ref, out_refs = rest[0], rest[1:]
     else:
@@ -386,25 +393,12 @@ def _packed_kernel(
     odd = K4[1] * yc + K4[3] * yn
     x = jnp.stack([even, odd], axis=1).reshape(2 * t, wb, l)
 
-    # column 2x upsample in lane space: W-block shifts are non-lane
-    # concatenations; the blends are (rows, L) @ (L, L) MXU matmuls.
-    # colup_dtype=fp32 keeps the upsample path exact; bf16 (serving) runs
-    # the MXU ~8x faster — the 0/0.25/0.75 map entries are bf16-exact, so
-    # the only rounding is one bf16 cast of the activations.
+    # W-block shifts are non-lane concatenations
     zb = jnp.zeros((2 * t, 1, l), x.dtype)
     x_prev = jnp.concatenate([zb, x[:, :-1]], axis=1)
     x_next = jnp.concatenate([x[:, 1:], zb], axis=1)
-    flat = lambda a: a.reshape(2 * t * wb, l).astype(colup_dtype)
-    cmat = lambda r: r[:].astype(colup_dtype)
-    ev = jnp.dot(flat(x_prev), cmat(ep_ref), preferred_element_type=jnp.float32)
-    ev = ev + jnp.dot(flat(x), cmat(ec_ref), preferred_element_type=jnp.float32)
-    od = jnp.dot(flat(x), cmat(oc_ref), preferred_element_type=jnp.float32)
-    od = od + jnp.dot(flat(x_next), cmat(on_ref), preferred_element_type=jnp.float32)
-    up = jnp.stack(
-        [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
-    ).reshape(2 * t, 2 * wb, l)
 
-    # per-pixel noise in (2T, 2Wb, P), expanded over channels on the MXU
+    # per-pixel noise in (2T, 2Wb, P)
     if hash_noise:
         row0 = jnp.uint32(2 * t) * pl.program_id(0).astype(jnp.uint32)
         shape_p = (2 * t, 2 * wb, p)
@@ -423,11 +417,54 @@ def _packed_kernel(
         n1p = n1_ref[:].astype(jnp.float32)
         n2p = n2_ref[:].astype(jnp.float32)
 
-    n1 = jnp.dot(
-        n1p.reshape(2 * t * 2 * wb, p), en_ref[:],
-        preferred_element_type=jnp.float32,
-    ).reshape(2 * t, 2 * wb, l)
-    h = lrelu(up + nw_ref[0, 0] * n1 + b1_ref[:])
+    if fold_noise:
+        # column 2x upsample WITH the first noise injection folded into the
+        # lane-space maps: even out = [x_prev | x | n1_even] @ M_e, odd out
+        # = [x | x_next | n1_odd] @ M_o, where M_e/M_o stack the blend maps
+        # over nw0-scaled noise-expand rows (built host-side). Removes the
+        # separate noise-expand matmul and two full-map VPU passes
+        # (noise add + bias broadcast fuse into one post-matmul lrelu pass).
+        # The even/odd noise split is the legal non-lane reshape
+        # (2T, 2Wb, P) -> (2T, Wb, 2, P).
+        n1r = n1p.reshape(2 * t, wb, 2, p)
+        cat = lambda a, b_, n_: jnp.concatenate(
+            [a, b_, n_], axis=-1
+        ).reshape(2 * t * wb, 2 * l + p).astype(colup_dtype)
+        a_e = cat(x_prev, x, n1r[:, :, 0])
+        a_o = cat(x, x_next, n1r[:, :, 1])
+        ev = jnp.dot(
+            a_e, me_ref[:].astype(colup_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        od = jnp.dot(
+            a_o, mo_ref[:].astype(colup_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        up = jnp.stack(
+            [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
+        ).reshape(2 * t, 2 * wb, l)
+        h = lrelu(up + b1_ref[:])
+    else:
+        # column 2x upsample in lane space: the blends are (rows, L) @ (L, L)
+        # MXU matmuls. colup_dtype=fp32 keeps the upsample path exact; bf16
+        # (serving) runs the MXU ~8x faster — the 0/0.25/0.75 map entries are
+        # bf16-exact, so the only rounding is one bf16 cast of the
+        # activations.
+        flat = lambda a: a.reshape(2 * t * wb, l).astype(colup_dtype)
+        cmat = lambda r: r[:].astype(colup_dtype)
+        ev = jnp.dot(flat(x_prev), cmat(ep_ref), preferred_element_type=jnp.float32)
+        ev = ev + jnp.dot(flat(x), cmat(ec_ref), preferred_element_type=jnp.float32)
+        od = jnp.dot(flat(x), cmat(oc_ref), preferred_element_type=jnp.float32)
+        od = od + jnp.dot(flat(x_next), cmat(on_ref), preferred_element_type=jnp.float32)
+        up = jnp.stack(
+            [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
+        ).reshape(2 * t, 2 * wb, l)
+
+        n1 = jnp.dot(
+            n1p.reshape(2 * t * 2 * wb, p), en_ref[:],
+            preferred_element_type=jnp.float32,
+        ).reshape(2 * t, 2 * wb, l)
+        h = lrelu(up + nw_ref[0, 0] * n1 + b1_ref[:])
 
     # modulated 1x1 conv as block-diagonal matmul
     h2 = _mxu(h.reshape(2 * t * 2 * wb, l), w2p_ref[:]).reshape(
@@ -460,7 +497,7 @@ def _packed_kernel(
     jax.jit,
     static_argnames=(
         "t_rows", "interpret", "out_dtype", "emit_feat", "colup_dtype",
-        "rgb_dtype",
+        "rgb_dtype", "fold_noise",
     ),
 )
 def decoder_block_packed(
@@ -483,6 +520,7 @@ def decoder_block_packed(
     emit_feat: bool = True,
     colup_dtype=jnp.float32,
     rgb_dtype=jnp.bfloat16,
+    fold_noise: bool = False,
 ):
     """Fused upsample+noise+act+conv2+noise+act (+ToRGB) for one decoder
     block in the packed-lane layout. The row halo is fetched in-kernel via
@@ -547,17 +585,35 @@ def decoder_block_packed(
             tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
         ]
         operands += [n1, n2]
-    in_specs += [
-        const(l, l), const(l, l), const(l, l), const(l, l),
-        const(p, l),
-        const(l, l),
-        const(1, l), const(1, l),
-        pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
-    ]
-    operands += [
-        ep, ec, oc, on, en,
-        w2p.astype(jnp.float32), b1t, b2t, nw,
-    ]
+    if fold_noise:
+        # extended maps carry the nw0-scaled noise-expand rows:
+        # even out = [x_prev | x | n1_even] @ M_e (+ bias after)
+        nw0 = jnp.asarray(noise_w1, jnp.float32)
+        me = jnp.concatenate([ep, ec, nw0 * en], axis=0)
+        mo = jnp.concatenate([oc, on, nw0 * en], axis=0)
+        in_specs += [
+            const(2 * l + p, l), const(2 * l + p, l),
+            const(p, l),
+            const(l, l),
+            const(1, l), const(1, l),
+            pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
+        ]
+        operands += [
+            me, mo, en,
+            w2p.astype(jnp.float32), b1t, b2t, nw,
+        ]
+    else:
+        in_specs += [
+            const(l, l), const(l, l), const(l, l), const(l, l),
+            const(p, l),
+            const(l, l),
+            const(1, l), const(1, l),
+            pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
+        ]
+        operands += [
+            ep, ec, oc, on, en,
+            w2p.astype(jnp.float32), b1t, b2t, nw,
+        ]
     out_specs, out_shape = [], []
     if emit_feat:
         out_specs.append(tile(2 * t_rows, 2 * wb, l))
@@ -588,6 +644,7 @@ def decoder_block_packed(
         emit_feat=emit_feat,
         emit_rgb=emit_rgb,
         hash_noise=hash_noise,
+        fold_noise=fold_noise,
     )
     outs = pl.pallas_call(
         kernel,

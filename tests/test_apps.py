@@ -107,6 +107,7 @@ def test_slerp_endpoints():
     np.testing.assert_allclose(np.asarray(slerp(z1, z2, 1.0)), np.asarray(z2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_flip_inversion_tiny(tiny_gen):
     from cips3dpp_tpu.apps.inversion import Projector, InversionConfig
     from cips3dpp_tpu.models.vgg import init_vgg
@@ -142,6 +143,7 @@ def test_flip_inversion_tiny(tiny_gen):
         )
 
 
+@pytest.mark.slow
 def test_flip_inversion_axis_angle(tiny_gen):
     """Axis-angle camera parameterisation (projector_axis_angle.py:191-278,
     _flip_inversion_axis_angle_web)."""

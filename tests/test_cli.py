@@ -58,6 +58,7 @@ def test_cli_style_mixing(tmp_path, capsys):
     assert res["shape"] == [32, 32, 3]  # 2x16 by 2x16
 
 
+@pytest.mark.slow
 def test_cli_train_tiny(tmp_path, capsys):
     """3 training iterations end-to-end through the CLI (data -> ckpt)."""
     from PIL import Image

@@ -24,6 +24,7 @@ def test_cli_interpolate_z(tmp_path, capsys):
     assert os.path.exists(res["grid"]) and os.path.exists(res["video"])
 
 
+@pytest.mark.slow
 def test_cli_invert_and_render_inverted(tmp_path, capsys):
     """Full inversion workflow: invert an image (few steps) then render
     multi-view from the saved w (reference _render_multi_view_web)."""
@@ -82,6 +83,7 @@ def test_cli_extract_shape(tmp_path, capsys):
     assert os.path.exists(res[0]["img"])
 
 
+@pytest.mark.slow
 def test_cli_sample_project_noise(tmp_path, capsys):
     """Geometry-aware noise projection through the sampling CLI
     (model_v3.py:344-415)."""

@@ -53,6 +53,7 @@ def test_kid_same_distribution_near_zero():
     assert m_diff > m_same + 0.5
 
 
+@pytest.mark.slow
 def test_inception_forward_and_generate():
     from cips3dpp_tpu.models.inception import InceptionV3Features, init_inception
 

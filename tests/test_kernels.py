@@ -417,3 +417,53 @@ def test_decoder_fused_apply_fuse_res_subset():
         np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
     )
     assert float(np.median(np.abs(np.asarray(out) - np.asarray(ref)))) < 1.5e-2
+
+
+@pytest.mark.parametrize("c", [32, 128])
+def test_decoder_block_packed_fold_noise(c):
+    """fold_noise folds the first noise injection into the column-upsample
+    matmuls (K: 2L -> 2L+P); fp32 must be bit-identical to the unfolded
+    kernel, and the hash-noise mode must compose with it."""
+    from cips3dpp_tpu.kernels.decoder_block import (
+        decoder_block_packed,
+        hash_noise_map,
+        layer_seed,
+    )
+
+    hp = wp = 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 6)
+    y1 = jax.random.normal(ks[0], (hp, wp, c))
+    noise1 = jax.random.normal(ks[1], (2 * hp, 2 * wp, 1))
+    noise2 = jax.random.normal(ks[2], (2 * hp, 2 * wp, 1))
+    w2 = jax.random.normal(ks[3], (c, c)) / np.sqrt(c)
+    b1 = jax.random.normal(ks[4], (c,)) * 0.1
+    b2 = jax.random.normal(ks[5], (c,)) * 0.1
+
+    base = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2, t_rows=8, interpret=True
+    )
+    fold = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2, t_rows=8, interpret=True,
+        fold_noise=True,
+    )
+    # fp32 fold differs from the unfolded kernel only by fp32 dot
+    # accumulation order (the noise/bias terms join the blend dot product)
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(fold), rtol=1e-3, atol=2e-4
+    )
+
+    # hash-noise + fold: equals buffers built from the same hash realization
+    seeds = jnp.stack([layer_seed(11, 0), layer_seed(11, 1)])
+    n1h = hash_noise_map(2 * hp, 2 * wp, seeds[0])
+    n2h = hash_noise_map(2 * hp, 2 * wp, seeds[1])
+    a = decoder_block_packed(
+        y1, n1h, n2h, w2, b1, b2, 0.3, -0.2, t_rows=8, interpret=True,
+        fold_noise=True,
+    )
+    b_ = decoder_block_packed(
+        y1, None, None, w2, b1, b2, 0.3, -0.2, noise_seeds=seeds,
+        t_rows=8, interpret=True, fold_noise=True,
+    )
+    # same realization up to cross-program FMA-contraction noise (see
+    # test_decoder_block_packed_hash_noise)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=0, atol=5e-3)

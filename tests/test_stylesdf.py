@@ -3,6 +3,7 @@
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -78,6 +79,7 @@ def test_stage1_training_skips_decoder_d():
     assert np.isfinite(float(gm["g_loss_eikonal_render"]))
 
 
+@pytest.mark.slow
 def test_freeze_renderer_stage2():
     """Stage 2: frozen renderer — no gradient reaches renderer params."""
     gen_cfg = dataclasses.replace(

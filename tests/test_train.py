@@ -78,6 +78,7 @@ def test_d_step_updates_discriminators(tiny_setup):
     # state donated: carry forward for other tests via re-creation in fixtures
 
 
+@pytest.mark.slow
 def test_g_and_path_and_sphere_steps(tiny_setup):
     gen_cfg, train_cfg, state, (d_step, g_step, path_step, sphere_step), out = tiny_setup
     params_g_before = jax.tree.map(lambda x: x.copy(), state.params_g)
@@ -129,6 +130,7 @@ def test_sphere_init_converges(tiny_setup):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_data_parallel_d_step_on_mesh():
     """Same d_step under an 8-device data mesh: batch sharded, params
     replicated; replaces DDP + sync_gradients (train_v10.py:381,1267-1281)."""
@@ -235,6 +237,7 @@ def test_generator_sample_idx_matches_full_gather():
     )
 
 
+@pytest.mark.slow
 def test_patch_training_steps_run():
     """d_step/g_step with gen_img_size < cam_img_size: the D sees
     gen_img_size*factor fakes and matched gathered real pixels
@@ -299,6 +302,7 @@ def test_diffaug_d_and_g_steps_run():
     assert np.isfinite(float(gm["g_loss_total"]))
 
 
+@pytest.mark.slow
 def test_bf16_discriminator_steps_run():
     """d_dtype='bfloat16' (HBM-halving image D): steps run, losses finite,
     R1 still positive through the bf16 net."""
@@ -330,6 +334,7 @@ def test_bf16_discriminator_steps_run():
     assert np.isfinite(float(gm["g_loss_total"]))
 
 
+@pytest.mark.slow
 def test_chunked_r1_matches_full_batch():
     """d_r1_chunk accumulates grad(R1) over real-batch chunks; the update
     must match the fused single-pass R1 (mean of equal-chunk means ==
