@@ -356,9 +356,17 @@ def _packed_kernel(
     fold_noise=False,
 ):
     rest = list(rest)
+    n1e_ref = n1o_ref = None
     if hash_noise:
         seeds_ref = rest.pop(0)
         n1_ref = n2_ref = None
+    elif fold_noise:
+        # noise1 arrives pre-split into even/odd out-W-blocks (host-side):
+        # Mosaic cannot lane-concat an offset slice of the interleaved
+        # buffer ("result/input offset mismatch on non-concat dimension"),
+        # but offset-0 refs concat fine.
+        n1e_ref, n1o_ref, n2_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+        n1_ref = None
     else:
         n1_ref, n2_ref = rest.pop(0), rest.pop(0)
     if fold_noise:
@@ -398,24 +406,39 @@ def _packed_kernel(
     x_prev = jnp.concatenate([zb, x[:, :-1]], axis=1)
     x_next = jnp.concatenate([x[:, 1:], zb], axis=1)
 
-    # per-pixel noise in (2T, 2Wb, P)
+    # per-pixel noise in (2T, 2Wb, P) — or pre-split even/odd (2T, Wb, P)
+    # halves when folding (Mosaic cannot lane-concat offset slices)
     if hash_noise:
         row0 = jnp.uint32(2 * t) * pl.program_id(0).astype(jnp.uint32)
-        shape_p = (2 * t, 2 * wb, p)
-        r_idx = jax.lax.broadcasted_iota(jnp.uint32, shape_p, 0) + row0
-        c_idx = (
-            jax.lax.broadcasted_iota(jnp.uint32, shape_p, 1)
-            * jnp.uint32(p)
-            + jax.lax.broadcasted_iota(jnp.uint32, shape_p, 2)
-        )
-        pix = r_idx * jnp.uint32(out_width) + c_idx
-        n1p = hash_normal(pix, seeds_ref[0, 0])
-        n2p = hash_normal(pix, seeds_ref[0, 1])
+
+        def hash_grid(seed, wblocks, col0_stride, col0_off):
+            shape_p = (2 * t, wblocks, p)
+            r_idx = jax.lax.broadcasted_iota(jnp.uint32, shape_p, 0) + row0
+            c_idx = (
+                jax.lax.broadcasted_iota(jnp.uint32, shape_p, 1)
+                * jnp.uint32(col0_stride)
+                + jnp.uint32(col0_off)
+                + jax.lax.broadcasted_iota(jnp.uint32, shape_p, 2)
+            )
+            pix = r_idx * jnp.uint32(out_width) + c_idx
+            return hash_normal(pix, seed)
+
+        n2p = hash_grid(seeds_ref[0, 1], 2 * wb, p, 0)
+        if fold_noise:
+            # even out-block m covers columns [2m*p, 2m*p + p)
+            n1e = hash_grid(seeds_ref[0, 0], wb, 2 * p, 0)
+            n1o = hash_grid(seeds_ref[0, 0], wb, 2 * p, p)
+        else:
+            n1p = hash_grid(seeds_ref[0, 0], 2 * wb, p, 0)
     else:
         # buffers may arrive bf16 (serving halves the lane-padded DMA);
         # the expand matmul and everything downstream stay fp32
-        n1p = n1_ref[:].astype(jnp.float32)
         n2p = n2_ref[:].astype(jnp.float32)
+        if fold_noise:
+            n1e = n1e_ref[:].astype(jnp.float32)
+            n1o = n1o_ref[:].astype(jnp.float32)
+        else:
+            n1p = n1_ref[:].astype(jnp.float32)
 
     if fold_noise:
         # column 2x upsample WITH the first noise injection folded into the
@@ -424,14 +447,11 @@ def _packed_kernel(
         # over nw0-scaled noise-expand rows (built host-side). Removes the
         # separate noise-expand matmul and two full-map VPU passes
         # (noise add + bias broadcast fuse into one post-matmul lrelu pass).
-        # The even/odd noise split is the legal non-lane reshape
-        # (2T, 2Wb, P) -> (2T, Wb, 2, P).
-        n1r = n1p.reshape(2 * t, wb, 2, p)
         cat = lambda a, b_, n_: jnp.concatenate(
             [a, b_, n_], axis=-1
         ).reshape(2 * t * wb, 2 * l + p).astype(colup_dtype)
-        a_e = cat(x_prev, x, n1r[:, :, 0])
-        a_o = cat(x, x_next, n1r[:, :, 1])
+        a_e = cat(x_prev, x, n1e)
+        a_o = cat(x, x_next, n1o)
         ev = jnp.dot(
             a_e, me_ref[:].astype(colup_dtype),
             preferred_element_type=jnp.float32,
@@ -581,10 +601,18 @@ def decoder_block_packed(
         n2 = noise2.reshape(2 * hp, 2 * wb, p)
         if n1.dtype not in (jnp.bfloat16, jnp.float32):
             n1, n2 = n1.astype(jnp.float32), n2.astype(jnp.float32)
-        in_specs += [
-            tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
-        ]
-        operands += [n1, n2]
+        if fold_noise:
+            # pre-split even/odd out-W-blocks (kernel lane-concats them)
+            in_specs += [
+                tile(2 * t_rows, wb, p), tile(2 * t_rows, wb, p),
+                tile(2 * t_rows, 2 * wb, p),
+            ]
+            operands += [n1[:, 0::2], n1[:, 1::2], n2]
+        else:
+            in_specs += [
+                tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
+            ]
+            operands += [n1, n2]
     if fold_noise:
         # extended maps carry the nw0-scaled noise-expand rows:
         # even out = [x_prev | x | n1_even] @ M_e (+ bias after)

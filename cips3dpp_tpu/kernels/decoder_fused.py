@@ -81,13 +81,13 @@ def decoder_fused_apply(
     # noise buffers whose lane padding costs ~10x their bytes to read.
     # `noise` may then be None; explicit buffers keep priority for
     # inversion artifacts.
-    fold_noise: bool = True,  # fold the first noise injection into the
-    # column-upsample matmuls (kernel K: 2L -> 2L+P): removes the separate
-    # noise-expand matmul and two full-map VPU passes on the VPU-bound
-    # 1024^2 block. fp32 mode matches the unfolded kernel up to dot
-    # accumulation order; in bf16 serving the noise contribution rounds
-    # through bf16 once (the buffers already arrive bf16, so the
-    # realization only shifts by ~bf16 eps of the noise value).
+    fold_noise: bool = False,  # fold the first noise injection into the
+    # column-upsample matmuls (kernel K: 2L -> 2L+P). Measured SLOWER on
+    # v5e (3.09 vs 2.71 ms/frame interleaved A/B): padding K 260 -> 384
+    # costs the MXU more than the saved noise-expand matmul + fused
+    # VPU adds — Mosaic was already fusing the noise/bias adds into one
+    # post-matmul pass. Kept as a tested option; fp32 matches the unfolded
+    # kernel up to dot accumulation order.
 ):
     """Fused-decoder forward; mirrors models.Decoder.__call__ exactly for
     batch 1, kernel_size 1, explicit noise. Returns rgb (1, H*up, W*up, 3)."""
