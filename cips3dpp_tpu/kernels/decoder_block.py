@@ -354,6 +354,10 @@ def _packed_kernel(
     emit_rgb=False,
     hash_noise=False,
     fold_noise=False,
+    emit_y1=False,  # emit the NEXT block's conv_a matmul output in the
+    # next block's packed layout (kills the feat->XLA conv->repack
+    # relayout chain between fused blocks)
+    y1_merge=False,  # next pack p' == 2p: merge even/odd W-blocks on lanes
 ):
     rest = list(rest)
     n1e_ref = n1o_ref = None
@@ -378,10 +382,12 @@ def _packed_kernel(
         (ep_ref, ec_ref, oc_ref, on_ref, en_ref, w2p_ref, b1_ref, b2_ref,
          nw_ref) = rest[:9]
         rest = rest[9:]
+    wrgbp_ref = wk_ref = None
     if emit_rgb:
-        wrgbp_ref, out_refs = rest[0], rest[1:]
-    else:
-        wrgbp_ref, out_refs = None, rest
+        wrgbp_ref, rest = rest[0], rest[1:]
+    if emit_y1:
+        wk_ref, rest = rest[0], rest[1:]
+    out_refs = rest
     lrelu = lambda v: jnp.where(v >= 0, v, 0.2 * v) * 1.4142135623730951
     t, wb, l = yc_ref.shape
     p = pack_p
@@ -511,6 +517,36 @@ def _packed_kernel(
             preferred_element_type=jnp.float32,
         )
         out_refs[ri][:] = rgb
+        ri += 1
+    if emit_y1:
+        # next block's conv_a, in the NEXT pack layout. Round h2 through the
+        # feat-store dtype so the chain matches the XLA path (which reads
+        # the stored feat) exactly; matmul inputs mirror _matmul_img's dtype.
+        stored = h2.astype(store_dtype).astype(rgb_dtype)
+        wk = wk_ref[:].astype(rgb_dtype)
+        if y1_merge:
+            # p' = 2p: out W-block m' = [in 2m' | in 2m'+1] on lanes
+            h2r = stored.reshape(2 * t, wb, 2, l)
+            lo = jnp.dot(
+                h2r[:, :, 0].reshape(2 * t * wb, l), wk,
+                preferred_element_type=jnp.float32,
+            )
+            hi = jnp.dot(
+                h2r[:, :, 1].reshape(2 * t * wb, l), wk,
+                preferred_element_type=jnp.float32,
+            )
+            n = lo.shape[-1]
+            y1n = jnp.concatenate(
+                [lo.reshape(2 * t, wb, n), hi.reshape(2 * t, wb, n)],
+                axis=-1,
+            )
+        else:
+            # p' = p: pack is unchanged, one block-diagonal matmul
+            y1n = jnp.dot(
+                stored.reshape(2 * t * 2 * wb, l), wk,
+                preferred_element_type=jnp.float32,
+            ).reshape(2 * t, 2 * wb, -1)
+        out_refs[ri][:] = y1n.astype(out_refs[ri].dtype)
 
 
 @functools.partial(
@@ -530,6 +566,12 @@ def decoder_block_packed(
     noise_w1,
     noise_w2,
     wrgb=None,  # (C, 3) pre-modulated ToRGB weight (no demod) -> emit rgb
+    w_next=None,  # (C, C') pre-modulated conv_a weight of the NEXT fused
+    # block -> additionally emit that block's y1 in ITS packed layout,
+    # replacing the feat -> XLA dot -> repack round trip between fused
+    # blocks (the relayout copies are ~0.2 ms/frame in the serving trace).
+    # Requires p' in {p, 2p}; returned as (2Hp, 2Wp, C') (free row-major
+    # view of the packed array).
     noise_seeds=None,  # (2,) uint32 -> in-kernel hash noise (serving):
     # a fixed deterministic N(0,1) realization per seed, zero HBM traffic.
     # The (.., P<128)-minor noise buffers otherwise lane-pad to 128 in the
@@ -642,6 +684,14 @@ def decoder_block_packed(
             ep, ec, oc, on, en,
             w2p.astype(jnp.float32), b1t, b2t, nw,
         ]
+    emit_y1 = w_next is not None
+    y1_merge = False
+    if emit_y1:
+        c_next = w_next.shape[1]
+        p_next = max(1, 128 // c_next)
+        assert p_next in (p, 2 * p), (p, p_next, c, c_next)
+        y1_merge = p_next == 2 * p
+
     out_specs, out_shape = [], []
     if emit_feat:
         out_specs.append(tile(2 * t_rows, 2 * wb, l))
@@ -661,6 +711,16 @@ def decoder_block_packed(
         out_shape.append(
             jax.ShapeDtypeStruct((2 * hp * 2 * wb, 3 * p), jnp.float32)
         )
+    if emit_y1:
+        wk = jnp.kron(jnp.eye(p, dtype=w_next.dtype), w_next)  # (L, p*C')
+        in_specs.append(const(l, p * c_next))
+        operands.append(wk.astype(jnp.float32))
+        wb_n = wb if y1_merge else 2 * wb
+        l_n = (2 * p if y1_merge else p) * c_next
+        out_specs.append(tile(2 * t_rows, wb_n, l_n))
+        out_shape.append(
+            jax.ShapeDtypeStruct((2 * hp, wb_n, l_n), out_dtype)
+        )
 
     kernel = functools.partial(
         _packed_kernel,
@@ -673,6 +733,8 @@ def decoder_block_packed(
         emit_rgb=emit_rgb,
         hash_noise=hash_noise,
         fold_noise=fold_noise,
+        emit_y1=emit_y1,
+        y1_merge=y1_merge,
     )
     outs = pl.pallas_call(
         kernel,
@@ -697,6 +759,10 @@ def decoder_block_packed(
         i += 1
     if emit_rgb:
         res.append(outs[i].reshape(2 * hp, 2 * wp, 3))
+        i += 1
+    if emit_y1:
+        # packed (2Hp, Wb', L') row-major == (2Hp, 2Wp, C') row-major
+        res.append(outs[i].reshape(2 * hp, 2 * wp, c_next))
     return tuple(res) if len(res) > 1 else res[0]
 
 

@@ -88,6 +88,14 @@ def decoder_fused_apply(
     # VPU adds — Mosaic was already fusing the noise/bias adds into one
     # post-matmul pass. Kept as a tested option; fp32 matches the unfolded
     # kernel up to dot accumulation order.
+    chain_y1: bool = False,  # emit each fused block's successor conv_a
+    # output INSIDE the kernel (packed for the successor). Numerically
+    # identical to the XLA path (same trajectory checksum), but measured
+    # SLOWER on v5e: 3.90 vs 2.76 ms/frame interleaved A/B. The feat ->
+    # XLA dot -> repack copies it removes are ASYNC (copy-start/-done)
+    # and largely hidden behind kernel compute, while the in-kernel
+    # emission serializes extra MXU work + a third output DMA into the
+    # kernel's critical path. Kept as a parity-tested option.
 ):
     """Fused-decoder forward; mirrors models.Decoder.__call__ exactly for
     batch 1, kernel_size 1, explicit noise. Returns rgb (1, H*up, W*up, 3)."""
@@ -136,6 +144,7 @@ def decoder_fused_apply(
         fuse_res = tuple(upsample_list)
 
     layer_i, noise_i, block = 1, 1, 0
+    y1_carry = None  # successor conv_a output emitted by the previous kernel
     for i in range(log_in + 1, log_out + 1):
         res = 2**i
         up = res in upsample_list
@@ -160,13 +169,18 @@ def decoder_fused_apply(
                 cb, h, styles[:, layer_i + 1], get_noise(noise_i + 1, cur, cur)
             )
         elif up:
-            # fused block: conv_a matmul at the previous resolution (XLA),
+            # fused block: conv_a matmul at the previous resolution (XLA,
+            # or carried from the previous kernel's in-kernel emission),
             # then upsample+noise+act+conv_b+noise+act+ToRGB in one kernel
             # pass. The final block elides its feature store entirely — its
             # features are only ever consumed by ToRGB.
             last = i == log_out
-            wa = _conv_weight(ca["conv"], styles[:, layer_i])
-            y1 = _matmul_img(x, wa, dt)
+            if y1_carry is not None:
+                y1 = y1_carry
+                y1_carry = None
+            else:
+                wa = _conv_weight(ca["conv"], styles[:, layer_i])
+                y1 = _matmul_img(x, wa, dt)[0].astype(dt)
             wb = _conv_weight(cb["conv"], styles[:, layer_i + 1])
             rgb_node = dec_params[f"to_rgbs_{block}"]
             wrgb = (
@@ -176,7 +190,28 @@ def decoder_fused_apply(
                 if fold_rgb
                 else None
             )
-            hp = y1.shape[1]
+            # successor lookahead: emit the next fused block's conv_a
+            # output inside THIS kernel (packed for the successor) when the
+            # pack ratio allows (p' in {p, 2p})
+            next_res = 2 ** (i + 1)
+            w_next = None
+            if (
+                chain_y1
+                and not last
+                and next_res in upsample_list
+                and next_res in fuse_res
+            ):
+                c_cur = channels[res]
+                c_nxt = channels[next_res]
+                p_cur = max(1, 128 // c_cur)
+                p_nxt = max(1, 128 // c_nxt)
+                if p_nxt in (p_cur, 2 * p_cur):
+                    nxt_ca = dec_params[f"convs_{2 * (block + 1)}"]
+                    # ToRGB and the next conv_a share the style index
+                    w_next = _conv_weight(
+                        nxt_ca["conv"], styles[:, layer_i + 2]
+                    )
+            hp = y1.shape[0]
             if noise_seed is not None and noise[noise_i] is None:
                 n_a = n_b = None
                 seeds = jnp.stack(
@@ -192,7 +227,7 @@ def decoder_fused_apply(
                 n_b = noise[noise_i + 1][0].astype(dt)
                 seeds = None
             out = decoder_block_packed(
-                y1[0].astype(dt),
+                y1,
                 n_a,
                 n_b,
                 wb,
@@ -201,6 +236,7 @@ def decoder_fused_apply(
                 ca["noise"]["weight"].reshape(()),
                 cb["noise"]["weight"].reshape(()),
                 wrgb=wrgb,
+                w_next=w_next,
                 noise_seeds=seeds,
                 t_rows=min(8, hp),
                 interpret=interpret,
@@ -210,13 +246,16 @@ def decoder_fused_apply(
                 rgb_dtype=dt,
                 fold_noise=fold_noise,
             )
+            outs = list(out) if isinstance(out, tuple) else [out]
+            if w_next is not None:
+                y1_carry = outs.pop()
             if fold_rgb:
-                feat, rgb = (None, out) if last else out
+                feat, rgb = (None, outs[0]) if last else outs
                 x = None if last else feat[None]
                 rgb = rgb[None].astype(jnp.float32) + rgb_node["bias"]
                 skip = rgb + upsample2x(skip)
             else:
-                x = out[None]
+                x = outs[0][None]
                 skip = to_rgb(rgb_node, x, styles[:, layer_i + 2], skip, up)
             layer_i += 2
             noise_i += 2

@@ -419,6 +419,37 @@ def test_decoder_fused_apply_fuse_res_subset():
     assert float(np.median(np.abs(np.asarray(out) - np.asarray(ref)))) < 1.5e-2
 
 
+def test_decoder_fused_apply_chain_y1():
+    """chain_y1 emits each fused block's successor conv_a output inside the
+    kernel (packed for the successor's 2x pack), replacing the XLA dot +
+    repack between blocks. Must match the flax Decoder like the base fused
+    path (measured slower on v5e — kept as a parity-tested option)."""
+    from cips3dpp_tpu.models.decoder import Decoder
+    from cips3dpp_tpu.kernels.decoder_fused import decoder_fused_apply
+
+    dec = Decoder(
+        size_start=4, size_end=1024, in_channel=64, channel_multiplier=2,
+        kernel_size=1, upsample_list=(128, 256, 512, 1024),
+    )
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 64))
+    styles = jax.random.normal(jax.random.PRNGKey(2), (1, dec.n_latent, 512))
+    noise = dec.make_noise(jax.random.PRNGKey(3), 8)
+    variables = dec.init(key, feats, styles, noise)
+    ref = dec.apply(variables, feats, styles, noise)
+
+    out = decoder_fused_apply(
+        variables["params"], feats, styles, noise,
+        upsample_list=(128, 256, 512, 1024),
+        dtype=jnp.float32, interpret=True, chain_y1=True,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-2, atol=5e-2
+    )
+    assert float(np.median(np.abs(np.asarray(out) - np.asarray(ref)))) < 1.5e-2
+
+
 @pytest.mark.parametrize("c", [32, 128])
 def test_decoder_block_packed_fold_noise(c):
     """fold_noise folds the first noise injection into the column-upsample
