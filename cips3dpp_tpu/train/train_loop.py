@@ -141,6 +141,36 @@ class Trainer:
         best_fid = np.inf
         t0 = time.time()
 
+        # Input pipelining: batches are device_put ahead of the step that
+        # consumes them (async DMA overlaps compute), sharded over the
+        # data axis when on a mesh. Replaces the reference's synchronous
+        # per-iter `.to(device)` (train_v10.py:905-918).
+        from ..parallel.prefetch import prefetch_to_device
+
+        sharding = None
+        if self.mesh is not None:
+            from ..parallel import data_sharding
+
+            sharding = data_sharding(self.mesh)
+        batches = prefetch_to_device(data, sharding)
+        # Metrics stay on device until the NEXT log point: fetching them
+        # immediately would block the host on the just-dispatched step and
+        # drain the dispatch pipeline at sub-100ms step times.
+        pending = None  # (idx, alpha, device-metric dict)
+
+        def emit(p, now):
+            p_idx, p_alpha, dev = p
+            metrics = {
+                k: float(v) for k, v in jax.device_get(dev).items()
+            }
+            metrics["alpha"] = p_alpha
+            metrics["iters_per_sec"] = (p_idx + 1 - start_iter) / (
+                now - t0
+            )
+            self.logger.log_jsonl(p_idx, metrics)
+            if hooks.on_metrics:
+                hooks.on_metrics(p_idx, metrics)
+
         for idx in range(start_iter, total):
             alpha = fade_alpha(idx, cfg.fade_steps, fade)
             # warmup: freeze decoder's view of renderer features
@@ -148,16 +178,7 @@ class Trainer:
                 True if (idx < cfg.warmup_iters and sphere_init_done) else None
             )
 
-            real = jnp.asarray(next(data))
-            if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                real = jax.device_put(
-                    real,
-                    NamedSharding(
-                        self.mesh, P("data", *([None] * (real.ndim - 1)))
-                    ),
-                )
+            real = next(batches)
 
             key, kd, kg, kp = jax.random.split(key, 4)
             d_regularize = (idx + 1) % cfg.d_reg_every == 0
@@ -174,12 +195,10 @@ class Trainer:
             state = ema_update(state, decay)
 
             if (idx + 1) % self.log_every == 0 or idx == total - 1:
-                metrics = {**dm, **gm, **pm, "alpha": alpha,
-                           "iters_per_sec": (idx + 1 - start_iter) / (time.time() - t0)}
-                metrics = {k: float(v) for k, v in metrics.items()}
-                self.logger.log_jsonl(idx, metrics)
-                if hooks.on_metrics:
-                    hooks.on_metrics(idx, metrics)
+                now = time.time()
+                if pending is not None:
+                    emit(pending, now)
+                pending = (idx, alpha, {**dm, **gm, **pm})
 
             if (idx + 1) % self.ckpt_every == 0:
                 fid = hooks.eval_fid(state) if hooks.eval_fid else None
@@ -195,6 +214,8 @@ class Trainer:
                 if hooks.on_checkpoint:
                     hooks.on_checkpoint(idx, state)
 
+        if pending is not None:
+            emit(pending, time.time())
         self.logger.flush()
         return state
 

@@ -149,6 +149,71 @@ def test_path_step_mesh_equivalence(equiv_setup):
     )
 
 
+def test_ray_sharded_render_equivalence(equiv_setup):
+    """Ray-axis sharding (this model's sequence-parallel analog, SURVEY.md
+    §2c): the volume render with rays sharded over a 2-axis (data, ray)
+    mesh must equal the unsharded render — the per-ray computation is
+    independent, so GSPMD needs no collectives, only a layout."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cips3dpp_tpu.core.rays import prepare_nerf_inputs
+    from cips3dpp_tpu.kernels.siren_render import siren_render_reference
+
+    state, _, _, _, _ = equiv_setup
+    gen_cfg = GeneratorConfig(
+        renderer=RendererConfig(n_layers=2, hidden_dim=32),
+        decoder=DecoderConfig(
+            size_end=32, upsample_list=(16,), style_dim=64, mapping_n_layers=2
+        ),
+        img_size=8,
+        n_samples=4,
+    )
+    mesh2 = make_mesh(8, ray=2)
+    assert mesh2.shape == {"data": 4, "ray": 2}
+    b = 4
+    cam = sample_cameras(jax.random.PRNGKey(7), b, gen_cfg.img_size)
+    pts, rays_d, viewdirs, z_vals = prepare_nerf_inputs(
+        cam.focal, gen_cfg.img_size, cam.extrinsics, cam.near, cam.far,
+        gen_cfg.n_samples, perturb=False,
+    )
+    r = gen_cfg.img_size**2
+    flat = lambda a: a.reshape(b, r, *a.shape[3:])
+    rp = state.params_g["params"]["renderer"]
+    gen = Generator(gen_cfg)
+    zs = (
+        jax.random.normal(jax.random.PRNGKey(8), (1, 256)),
+        jax.random.normal(jax.random.PRNGKey(9), (1, 256)),
+    )
+    style = gen.apply(state.params_g, zs, method="map_zs")[0][0]
+    near = cam.near.reshape(-1)[0]
+    far = cam.far.reshape(-1)[0]
+
+    @jax.jit
+    def render(rp, style, pts, vd, zv, rd):
+        f = jax.vmap(
+            lambda p, v, z, d: siren_render_reference(
+                rp, style, p, v, z, d, near, far
+            )
+        )
+        return f(pts, vd, zv, rd)[0]
+
+    args = (flat(pts), flat(viewdirs), flat(z_vals), flat(rays_d))
+    ref = render(rp, style, *args)
+
+    spec = lambda nd: NamedSharding(
+        mesh2, P("data", "ray", *([None] * (nd - 2)))
+    )
+    rep = NamedSharding(mesh2, P())
+    args_s = tuple(jax.device_put(a, spec(a.ndim)) for a in args)
+    out = render(
+        jax.device_put(rp, rep), jax.device_put(style, rep), *args_s
+    )
+    assert bool(jnp.isfinite(out).all())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_ema_update_mesh_equivalence(equiv_setup):
     state, _, _, mesh, _ = equiv_setup
     # perturb params so ema actually moves
