@@ -69,6 +69,8 @@ def main():
                     help="per-layer remat inside the G decoder")
     ap.add_argument("--preset", default="r1024", choices=["r1024", "r64"],
                     help="r64 = small smoke config (CPU-feasible)")
+    ap.add_argument("--per-step", action="store_true",
+                    help="time each step variant separately (attribution)")
     args = ap.parse_args()
 
     import dataclasses
@@ -218,8 +220,57 @@ def main():
         return
 
     # ---- execute: warmup each variant once (compile), then timed loop ----
-    rngs = jax.random.split(jax.random.PRNGKey(42), 4 * args.iters + 16)
+    rngs = jax.random.split(jax.random.PRNGKey(42), 8 * args.iters + 32)
     ri = iter(range(len(rngs)))
+
+    if args.per_step:
+        # Where does the amortized iteration go? Each variant timed alone,
+        # chained through its own donated state (the checksum fetch defeats
+        # the remote chip's early completion acks — see module docstring).
+        variants = [
+            ("d_step", lambda s, k: d_step(s, real, k, alpha, False)),
+            ("d_step_r1", lambda s, k: d_step(s, real, k, alpha, True)),
+            ("g_step", lambda s, k: g_step(s, k, alpha)),
+            ("path_step", lambda s, k: path_step(s, k)),
+        ]
+        out = {}
+        for name, call in variants:
+            t0 = time.perf_counter()
+            state, _ = call(state, rngs[next(ri)])  # compile+warmup
+            float(jax.tree.leaves(state.params_g)[0].ravel()[0])
+            compile_s = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, _ = call(state, rngs[next(ri)])
+            float(
+                jax.tree.leaves(state.params_g)[0].ravel()[0]
+            ) + float(state.mean_path_length)
+            out[name] = round((time.perf_counter() - t0) / args.iters, 4)
+            print(
+                f"# {name}: {out[name]:.4f} s (compile {compile_s:.0f}s)",
+                file=sys.stderr, flush=True,
+            )
+        amortized = (
+            out["d_step"] * (1 - 1 / cfg.d_reg_every)
+            + out["d_step_r1"] / cfg.d_reg_every
+            + out["g_step"]
+            + out["path_step"] / cfg.g_reg_every
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "r1024_train_step_breakdown",
+                    "unit": "s",
+                    "batch": args.batch,
+                    **out,
+                    "amortized_s_per_iter": round(amortized, 4),
+                    "d_reg_every": cfg.d_reg_every,
+                    "g_reg_every": cfg.g_reg_every,
+                }
+            ),
+            flush=True,
+        )
+        return
 
     def one_iter(state, i):
         state, _ = d_step(

@@ -549,6 +549,70 @@ def _packed_kernel(
         out_refs[ri][:] = y1n.astype(out_refs[ri].dtype)
 
 
+def decoder_block_prepare(
+    noise1,
+    noise2,
+    w2,
+    b1,
+    b2,
+    noise_w1,
+    noise_w2,
+    wrgb=None,
+    w_next=None,
+    noise_seeds=None,
+    *,
+    c: int,
+    fold_noise: bool = False,
+):
+    """y1-independent kernel operands (weights, maps, reshaped noise).
+
+    Everything here is fixed for a whole trajectory (styles + noise bufs
+    are per-video constants in the reference app, render_video_web_v10.py:
+    1792-1794): the kron weight expansions, bias tiles and noise
+    reshape/casts need not re-run inside a per-frame scan body. Pass the
+    result to decoder_block_packed(prepared=...)."""
+    p = max(1, 128 // c)
+    d = {}
+    ep, ec, oc, on = (jnp.asarray(m) for m in _build_colup_mats(p, c))
+    en = jnp.asarray(_build_noise_expand(p, c))
+    d["w2p"] = jnp.kron(jnp.eye(p, dtype=w2.dtype), w2).astype(jnp.float32)
+    d["b1t"] = jnp.tile(b1.reshape(1, -1), (1, p)).astype(jnp.float32)
+    d["b2t"] = jnp.tile(b2.reshape(1, -1), (1, p)).astype(jnp.float32)
+    d["nw"] = (
+        jnp.stack([noise_w1, noise_w2]).reshape(1, 2).astype(jnp.float32)
+    )
+    if noise_seeds is not None:
+        d["seeds"] = jnp.asarray(noise_seeds, jnp.uint32).reshape(1, 2)
+    else:
+        h2, w2_ = noise1.shape[:2]
+        n1 = noise1.reshape(h2, w2_ // p, p)
+        n2 = noise2.reshape(h2, w2_ // p, p)
+        if n1.dtype not in (jnp.bfloat16, jnp.float32):
+            n1, n2 = n1.astype(jnp.float32), n2.astype(jnp.float32)
+        if fold_noise:
+            d["noise"] = (n1[:, 0::2], n1[:, 1::2], n2)
+        else:
+            d["noise"] = (n1, n2)
+    if fold_noise:
+        nw0 = jnp.asarray(noise_w1, jnp.float32)
+        d["maps"] = (
+            jnp.concatenate([ep, ec, nw0 * en], axis=0),
+            jnp.concatenate([oc, on, nw0 * en], axis=0),
+            en,
+        )
+    else:
+        d["maps"] = (ep, ec, oc, on, en)
+    if wrgb is not None:
+        d["wrgbp"] = jnp.kron(jnp.eye(p, dtype=wrgb.dtype), wrgb).astype(
+            jnp.float32
+        )
+    if w_next is not None:
+        d["wk"] = jnp.kron(jnp.eye(p, dtype=w_next.dtype), w_next).astype(
+            jnp.float32
+        )  # (L, p * c_next): c_next stays derivable from the shape
+    return d
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -583,6 +647,12 @@ def decoder_block_packed(
     colup_dtype=jnp.float32,
     rgb_dtype=jnp.bfloat16,
     fold_noise: bool = False,
+    prepared=None,  # decoder_block_prepare(...) output: skips rebuilding
+    # the y1-independent operands (trajectory-invariant serving prep).
+    # noise1/noise2/w2/b1/b2/noise weights may then be None; wrgb/w_next/
+    # noise_seeds still control WHICH outputs are emitted (pass the same
+    # values used at prepare time, or any non-None placeholder of the
+    # same shape).
 ):
     """Fused upsample+noise+act+conv2+noise+act (+ToRGB) for one decoder
     block in the packed-lane layout. The row halo is fetched in-kernel via
@@ -597,16 +667,20 @@ def decoder_block_packed(
     assert (c * p) % 128 == 0 or c >= 128, (c, p)
     l = p * c
     assert wp % p == 0 and hp % t_rows == 0, (hp, wp, p, t_rows)
-    assert emit_feat or wrgb is not None
     wb = wp // p
 
-    hash_noise = noise_seeds is not None
-    ep, ec, oc, on = (jnp.asarray(m) for m in _build_colup_mats(p, c))
-    en = jnp.asarray(_build_noise_expand(p, c))
-    w2p = jnp.kron(jnp.eye(p, dtype=w2.dtype), w2)
-    b1t = jnp.tile(b1.reshape(1, -1), (1, p)).astype(jnp.float32)
-    b2t = jnp.tile(b2.reshape(1, -1), (1, p)).astype(jnp.float32)
-    nw = jnp.stack([noise_w1, noise_w2]).reshape(1, 2).astype(jnp.float32)
+    if prepared is None:
+        prepared = decoder_block_prepare(
+            noise1, noise2, w2, b1, b2, noise_w1, noise_w2,
+            wrgb=wrgb, w_next=w_next, noise_seeds=noise_seeds,
+            c=c, fold_noise=fold_noise,
+        )
+    # which outputs/inputs exist is static pytree structure, not tracing
+    hash_noise = "seeds" in prepared
+    emit_rgb = "wrgbp" in prepared
+    emit_y1 = "wk" in prepared
+    assert emit_feat or emit_rgb
+    b1t, b2t, nw = prepared["b1t"], prepared["b2t"], prepared["nw"]
 
     ypk = y1.reshape(hp, wb, l)
     if ypk.dtype not in (jnp.bfloat16, jnp.float32):
@@ -630,37 +704,27 @@ def decoder_block_packed(
         memory_space=pltpu.VMEM,
     )
 
-    emit_rgb = wrgb is not None
     in_specs = [tile(t_rows, wb, l), halo_p, halo_n]
     operands = [ypk, ypk, ypk]
     if hash_noise:
         in_specs.append(pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM))
-        operands.append(
-            jnp.asarray(noise_seeds, jnp.uint32).reshape(1, 2)
-        )
+        operands.append(prepared["seeds"])
+    elif fold_noise:
+        # pre-split even/odd out-W-blocks (kernel lane-concats them)
+        in_specs += [
+            tile(2 * t_rows, wb, p), tile(2 * t_rows, wb, p),
+            tile(2 * t_rows, 2 * wb, p),
+        ]
+        operands += list(prepared["noise"])
     else:
-        n1 = noise1.reshape(2 * hp, 2 * wb, p)
-        n2 = noise2.reshape(2 * hp, 2 * wb, p)
-        if n1.dtype not in (jnp.bfloat16, jnp.float32):
-            n1, n2 = n1.astype(jnp.float32), n2.astype(jnp.float32)
-        if fold_noise:
-            # pre-split even/odd out-W-blocks (kernel lane-concats them)
-            in_specs += [
-                tile(2 * t_rows, wb, p), tile(2 * t_rows, wb, p),
-                tile(2 * t_rows, 2 * wb, p),
-            ]
-            operands += [n1[:, 0::2], n1[:, 1::2], n2]
-        else:
-            in_specs += [
-                tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
-            ]
-            operands += [n1, n2]
+        in_specs += [
+            tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
+        ]
+        operands += list(prepared["noise"])
     if fold_noise:
         # extended maps carry the nw0-scaled noise-expand rows:
         # even out = [x_prev | x | n1_even] @ M_e (+ bias after)
-        nw0 = jnp.asarray(noise_w1, jnp.float32)
-        me = jnp.concatenate([ep, ec, nw0 * en], axis=0)
-        mo = jnp.concatenate([oc, on, nw0 * en], axis=0)
+        me, mo, en = prepared["maps"]
         in_specs += [
             const(2 * l + p, l), const(2 * l + p, l),
             const(p, l),
@@ -668,11 +732,9 @@ def decoder_block_packed(
             const(1, l), const(1, l),
             pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
         ]
-        operands += [
-            me, mo, en,
-            w2p.astype(jnp.float32), b1t, b2t, nw,
-        ]
+        operands += [me, mo, en, prepared["w2p"], b1t, b2t, nw]
     else:
+        ep, ec, oc, on, en = prepared["maps"]
         in_specs += [
             const(l, l), const(l, l), const(l, l), const(l, l),
             const(p, l),
@@ -680,14 +742,10 @@ def decoder_block_packed(
             const(1, l), const(1, l),
             pl.BlockSpec((1, 2), full2, memory_space=pltpu.SMEM),
         ]
-        operands += [
-            ep, ec, oc, on, en,
-            w2p.astype(jnp.float32), b1t, b2t, nw,
-        ]
-    emit_y1 = w_next is not None
+        operands += [ep, ec, oc, on, en, prepared["w2p"], b1t, b2t, nw]
     y1_merge = False
     if emit_y1:
-        c_next = w_next.shape[1]
+        c_next = prepared["wk"].shape[1] // p
         p_next = max(1, 128 // c_next)
         assert p_next in (p, 2 * p), (p, p_next, c, c_next)
         y1_merge = p_next == 2 * p
@@ -699,9 +757,8 @@ def decoder_block_packed(
             jax.ShapeDtypeStruct((2 * hp, 2 * wb, l), out_dtype)
         )
     if emit_rgb:
-        wrgbp = jnp.kron(jnp.eye(p, dtype=wrgb.dtype), wrgb)  # (L, 3P)
         in_specs.append(const(l, 3 * p))
-        operands.append(wrgbp.astype(jnp.float32))
+        operands.append(prepared["wrgbp"])  # (L, 3P) kron-expanded ToRGB
         out_specs.append(
             pl.BlockSpec(
                 (2 * t_rows * 2 * wb, 3 * p), lambda i: (i, 0),
@@ -712,9 +769,8 @@ def decoder_block_packed(
             jax.ShapeDtypeStruct((2 * hp * 2 * wb, 3 * p), jnp.float32)
         )
     if emit_y1:
-        wk = jnp.kron(jnp.eye(p, dtype=w_next.dtype), w_next)  # (L, p*C')
         in_specs.append(const(l, p * c_next))
-        operands.append(wk.astype(jnp.float32))
+        operands.append(prepared["wk"])  # (L, p*C') kron-expanded conv_a'
         wb_n = wb if y1_merge else 2 * wb
         l_n = (2 * p if y1_merge else p) * c_next
         out_specs.append(tile(2 * t_rows, wb_n, l_n))

@@ -231,33 +231,44 @@ def _pack_siren_params(net_params, styles):
     )
 
 
+def siren_prepare(renderer_params, styles, near, far):
+    """Trajectory-invariant prep: style-conditioned FiLM fold + fp32 weight
+    casts + scale/beta constants. In a multi-frame trajectory (fixed zs,
+    varying camera — the reference app's get_ws-once semantics,
+    render_video_web_v10.py:1806-1824) this runs ONCE instead of per frame
+    inside the scan body."""
+    net = renderer_params["network"]
+    weights = _pack_siren_params(net, styles)
+    scale = (2.0 / (far - near)).reshape(())
+    sbeta = renderer_params["sigmoid_beta"].reshape(())
+    scal = jnp.stack([scale, sbeta]).reshape(1, 2).astype(jnp.float32)
+    return {
+        "weights": tuple(w.astype(jnp.float32) for w in weights),
+        "scal": scal,
+    }
+
+
 @functools.partial(
     jax.jit, static_argnames=("ray_tile", "interpret")
 )
-def siren_render_fused(
-    renderer_params: Any,  # {'sigmoid_beta', 'network': {...}} (depth-2)
-    styles: jnp.ndarray,  # (L+1, style_dim) — single sample
+def siren_render_prepared(
+    prepared,  # siren_prepare(...) output
     pts: jnp.ndarray,  # (R, S, 3) world points
     viewdirs: jnp.ndarray,  # (R, 3)
     z_vals: jnp.ndarray,  # (R, S)
     rays_d: jnp.ndarray,  # (R, 3)
-    near: jnp.ndarray,  # scalar-ish
-    far: jnp.ndarray,
     ray_tile: int = 128,
     interpret: bool = False,
 ):
-    """Fused render of one batch item. Returns (thumb (R,3), feat (R,W),
-    sdf (R,S,1), mask_depth (R,2), xyz (R,3))."""
+    """Per-frame half of the fused render (camera-dependent inputs only).
+    Returns (thumb (R,3), feat (R,W), sdf (R,S,1), mask_depth (R,2),
+    xyz (R,3))."""
     r, s, _ = pts.shape
-    net = renderer_params["network"]
-    width = net["pts_1"]["weight"].shape[1]
+    weights = prepared["weights"]
+    scal = prepared["scal"]
+    width = weights[3].shape[1]  # pts_1 weight (W, W)
     assert r % ray_tile == 0, (r, ray_tile)
-
-    weights = _pack_siren_params(net, styles)
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # (R,1)
-    scale = (2.0 / (far - near)).reshape(())
-    sbeta = renderer_params["sigmoid_beta"].reshape(())
-    scal = jnp.stack([scale, sbeta]).reshape(1, 2).astype(jnp.float32)
 
     grid = (r // ray_tile,)
     row = lambda i: (i, 0)
@@ -304,10 +315,38 @@ def siren_render_fused(
         viewdirs.astype(jnp.float32),
         z_vals.astype(jnp.float32),
         dnorm.astype(jnp.float32),
-        *[w.astype(jnp.float32) for w in weights],
+        *weights,
         scal,
     )
     return thumb, feat, sdf[..., None], maskd, xyz
+
+
+def siren_render_fused(
+    renderer_params: Any,  # {'sigmoid_beta', 'network': {...}} (depth-2)
+    styles: jnp.ndarray,  # (L+1, style_dim) — single sample
+    pts: jnp.ndarray,  # (R, S, 3) world points
+    viewdirs: jnp.ndarray,  # (R, 3)
+    z_vals: jnp.ndarray,  # (R, S)
+    rays_d: jnp.ndarray,  # (R, 3)
+    near: jnp.ndarray,  # scalar-ish
+    far: jnp.ndarray,
+    ray_tile: int = 128,
+    interpret: bool = False,
+):
+    """Fused render of one batch item (prepare + render in one call).
+    Returns (thumb (R,3), feat (R,W), sdf (R,S,1), mask_depth (R,2),
+    xyz (R,3)).
+
+    Deliberately NOT jitted as a unit: the prep half runs in the caller's
+    context, so an eager call computes bit-identical prep to
+    serving.prepare_trajectory (same programs -> exact split/one-shot
+    parity), while a jitted caller traces everything into one program
+    as before."""
+    prepared = siren_prepare(renderer_params, styles, near, far)
+    return siren_render_prepared(
+        prepared, pts, viewdirs, z_vals, rays_d,
+        ray_tile=ray_tile, interpret=interpret,
+    )
 
 
 @jax.custom_vjp
