@@ -250,6 +250,31 @@ def _build_noise_expand(p: int, c: int):
     return e
 
 
+def _build_rgbx_maps(p: int, c: int, wrgb):
+    """ToRGB as DENSE 128-lane output groups (the fix for dead-end #1).
+
+    A (rows, 3P) packed rgb store lane-pads 3P -> 128 (~10x physical
+    bytes). Instead, G = 32 // P adjacent W-blocks (32 pixels) share one
+    128-lane vector holding 32 x (r, g, b, 0) -- RGBx, 4/3 the logical
+    bytes, fully lane-dense. Sub-block j of a group contributes through
+    its own (P*C, 128) map: out[.., (j*P + r)*4 + k] = sum_ch
+    feat[.., r*C + ch] * wrgb[ch, k]. Returns (G, P*C, 128) fp32.
+
+    Same nonzero products and K-accumulation length as the kron (L, 3P)
+    map; values match the padded fold to dot-accumulation-order rounding
+    (the different N dim may reassociate the K loop; measured <=1 ULP)."""
+    g = 32 // p
+    sel = np.zeros((g, p, 3, 128), np.float32)
+    for j in range(g):
+        for r in range(p):
+            for k in range(3):
+                sel[j, r, k, (j * p + r) * 4 + k] = 1.0
+    m = jnp.einsum(
+        "ck,jrko->jrco", wrgb.astype(jnp.float32), jnp.asarray(sel)
+    )
+    return m.reshape(g, p * c, 128)
+
+
 def _mxu(a, b):
     return jnp.dot(
         a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
@@ -352,6 +377,7 @@ def _packed_kernel(
     out_width,
     emit_feat=True,
     emit_rgb=False,
+    rgb_pack="pad",  # "rgbx": dense 128-lane RGBx groups; "pad": (rows, 3P)
     hash_noise=False,
     fold_noise=False,
     emit_y1=False,  # emit the NEXT block's conv_a matmul output in the
@@ -511,12 +537,28 @@ def _packed_kernel(
         # the fused rgb matches the XLA path (which reads the stored feat)
         # bit-for-bit, even when the feat store itself is elided.
         stored = h2.astype(store_dtype).astype(rgb_dtype)
-        rgb = jnp.dot(
-            stored.reshape(2 * t * 2 * wb, l),
-            wrgbp_ref[:].astype(rgb_dtype),
-            preferred_element_type=jnp.float32,
-        )
-        out_refs[ri][:] = rgb
+        if rgb_pack == "rgbx":
+            # dense 128-lane RGBx groups: G W-blocks -> 32 pixels x 4
+            # lanes; G disjoint-lane matmuls summed (cross terms exactly 0)
+            g_rgb = wrgbp_ref.shape[0]
+            nwg = (2 * wb) // g_rgb
+            h2g = stored.reshape(2 * t, nwg, g_rgb, l)
+            acc = None
+            for j in range(g_rgb):
+                part = jnp.dot(
+                    h2g[:, :, j].reshape(2 * t * nwg, l),
+                    wrgbp_ref[j].astype(rgb_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = part if acc is None else acc + part
+            out_refs[ri][:] = acc.reshape(2 * t, nwg, 128)
+        else:
+            rgb = jnp.dot(
+                stored.reshape(2 * t * 2 * wb, l),
+                wrgbp_ref[:].astype(rgb_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            out_refs[ri][:] = rgb
         ri += 1
     if emit_y1:
         # next block's conv_a, in the NEXT pack layout. Round h2 through the
@@ -606,6 +648,10 @@ def decoder_block_prepare(
         d["wrgbp"] = jnp.kron(jnp.eye(p, dtype=wrgb.dtype), wrgb).astype(
             jnp.float32
         )
+        if 32 % p == 0:
+            # dense-lane variant; decoder_block_packed picks it whenever
+            # the block's width is divisible by the group size
+            d["wrgbx"] = _build_rgbx_maps(p, c, wrgb)
     if w_next is not None:
         d["wk"] = jnp.kron(jnp.eye(p, dtype=w_next.dtype), w_next).astype(
             jnp.float32
@@ -617,7 +663,7 @@ def decoder_block_prepare(
     jax.jit,
     static_argnames=(
         "t_rows", "interpret", "out_dtype", "emit_feat", "colup_dtype",
-        "rgb_dtype", "fold_noise",
+        "rgb_dtype", "fold_noise", "rgb_pack",
     ),
 )
 def decoder_block_packed(
@@ -647,6 +693,9 @@ def decoder_block_packed(
     colup_dtype=jnp.float32,
     rgb_dtype=jnp.bfloat16,
     fold_noise: bool = False,
+    rgb_pack: str | None = None,  # None: auto ("rgbx" dense-lane store
+    # whenever the width divides into 32-pixel groups, else the padded
+    # (rows, 3P) store); or force "rgbx"/"pad" explicitly (tests)
     prepared=None,  # decoder_block_prepare(...) output: skips rebuilding
     # the y1-independent operands (trajectory-invariant serving prep).
     # noise1/noise2/w2/b1/b2/noise weights may then be None; wrgb/w_next/
@@ -679,6 +728,14 @@ def decoder_block_packed(
     hash_noise = "seeds" in prepared
     emit_rgb = "wrgbp" in prepared
     emit_y1 = "wk" in prepared
+    g_rgb = 32 // p if p <= 32 else 0
+    if rgb_pack is None:
+        rgb_pack = (
+            "rgbx"
+            if emit_rgb and "wrgbx" in prepared and g_rgb > 0
+            and (2 * wb) % g_rgb == 0
+            else "pad"
+        )
     assert emit_feat or emit_rgb
     b1t, b2t, nw = prepared["b1t"], prepared["b2t"], prepared["nw"]
 
@@ -756,7 +813,20 @@ def decoder_block_packed(
         out_shape.append(
             jax.ShapeDtypeStruct((2 * hp, 2 * wb, l), out_dtype)
         )
-    if emit_rgb:
+    if emit_rgb and rgb_pack == "rgbx":
+        nwg = (2 * wb) // g_rgb
+        in_specs.append(
+            pl.BlockSpec(
+                (g_rgb, l, 128), lambda i: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(prepared["wrgbx"])  # (G, L, 128) dense RGBx maps
+        out_specs.append(tile(2 * t_rows, nwg, 128))
+        out_shape.append(
+            jax.ShapeDtypeStruct((2 * hp, nwg, 128), jnp.float32)
+        )
+    elif emit_rgb:
         in_specs.append(const(l, 3 * p))
         operands.append(prepared["wrgbp"])  # (L, 3P) kron-expanded ToRGB
         out_specs.append(
@@ -787,6 +857,7 @@ def decoder_block_packed(
         out_width=2 * wp,
         emit_feat=emit_feat,
         emit_rgb=emit_rgb,
+        rgb_pack=rgb_pack,
         hash_noise=hash_noise,
         fold_noise=fold_noise,
         emit_y1=emit_y1,
@@ -814,7 +885,13 @@ def decoder_block_packed(
         res.append(outs[i].reshape(2 * hp, 2 * wp, c))
         i += 1
     if emit_rgb:
-        res.append(outs[i].reshape(2 * hp, 2 * wp, 3))
+        if rgb_pack == "rgbx":
+            # (2Hp, NWg, 128) -> (2Hp, 2Wp, 4) row-major -> drop the pad
+            res.append(
+                outs[i].reshape(2 * hp, 2 * wp, 4)[..., :3]
+            )
+        else:
+            res.append(outs[i].reshape(2 * hp, 2 * wp, 3))
         i += 1
     if emit_y1:
         # packed (2Hp, Wb', L') row-major == (2Hp, 2Wp, C') row-major

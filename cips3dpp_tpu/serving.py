@@ -45,6 +45,9 @@ def prepare_trajectory(
     truncation: float = 1.0,
     mean_latents=None,
     inject_index=None,
+    fold_rgb: bool = True,  # fold ToRGB into the decoder kernels (dense
+    # RGBx lane store, measured faster on v5e); pass the same value to
+    # render_frame
 ):
     """Trajectory-invariant prep pytree for `render_frame`."""
     cfg = model.cfg
@@ -80,6 +83,7 @@ def prepare_trajectory(
             dtype=jnp.dtype(dec.dtype),
             noise_seed=None if noise_bufs is not None else noise_seed,
             feat_size=cfg.img_size,
+            fold_rgb=fold_rgb,
         ),
     }
 
@@ -92,6 +96,7 @@ def render_frame(
     *,
     img_size: int | None = None,
     interpret: bool = False,  # CPU/interpret kernels (tests)
+    fold_rgb: bool = True,  # must match prepare_trajectory
 ):
     """One frame from prepped state + camera angles. Returns
     {"rgb": (1, out, out, 3), "thumb_rgb": (1, img, img, 3)}."""
@@ -133,11 +138,13 @@ def render_frame(
         channel_multiplier=dec.channel_multiplier,
         dtype=jnp.dtype(dec.dtype),
         interpret=interpret,
+        fold_rgb=fold_rgb,
     )
     return {"rgb": rgb, "thumb_rgb": thumb.reshape(1, h, w, 3)}
 
 
-def render_trajectory_scan(model, prep, yaws, elev=None, *, interpret=False):
+def render_trajectory_scan(model, prep, yaws, elev=None, *, interpret=False,
+                           fold_rgb=True):
     """Scan all frames in ONE XLA program (zero host dispatch between
     frames), returning a checksum-friendly stacked rgb mean per frame plus
     the last frame. Building block for benches; apps stack full frames
@@ -148,7 +155,7 @@ def render_trajectory_scan(model, prep, yaws, elev=None, *, interpret=False):
     def body(carry, ae):
         az, el = ae
         out = render_frame(model, prep, az.reshape(1), el.reshape(1),
-                           interpret=interpret)
+                           interpret=interpret, fold_rgb=fold_rgb)
         return carry + out["rgb"].astype(jnp.float32).mean(), None
 
     checksum, _ = jax.lax.scan(body, jnp.zeros(()), (yaws, elev))

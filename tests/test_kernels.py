@@ -270,6 +270,20 @@ def test_decoder_block_packed_rgb_fold(c):
     )
     np.testing.assert_array_equal(np.asarray(rgb_only), np.asarray(rgb))
 
+    # the dense-lane RGBx store (auto above when widths divide) must match
+    # the padded (rows, 3P) store to dot-accumulation-order rounding (same
+    # products, same K length; the different N dim may reassociate the
+    # K loop -> last-ULP fp32 differences, measured max 7e-7)
+    _, rgb_pad = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2, wrgb=wrgb,
+        t_rows=8, interpret=True,
+        out_dtype=jnp.bfloat16, rgb_dtype=jnp.bfloat16,
+        colup_dtype=jnp.bfloat16, rgb_pack="pad",
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_pad), np.asarray(rgb), rtol=0, atol=5e-6
+    )
+
 
 def test_decoder_block_packed_hash_noise():
     """In-kernel hash noise (serving): the kernel with noise_seeds must

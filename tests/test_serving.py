@@ -96,6 +96,7 @@ def test_render_frame_matches_oneshot_fused():
             channel_multiplier=cfg.decoder.channel_multiplier,
             dtype=jnp.dtype(cfg.decoder.dtype),
             interpret=True,
+            fold_rgb=True,  # serving default (render_frame folds ToRGB)
         )
         assert got["rgb"].shape == rgb.shape == (1, 64, 64, 3)
         np.testing.assert_allclose(

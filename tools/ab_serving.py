@@ -54,17 +54,19 @@ def make_traj(fused_dec, noise_kw):
     return traj
 
 
-def make_traj_prep_split():
+def make_traj_prep_split(fold_rgb=False):
     """serving.prepare_trajectory once + render_trajectory_scan: all
     style/weight/noise prep hoisted OUT of the scan body (vs relying on
     XLA loop-invariant code motion in the model.apply variants)."""
     from cips3dpp_tpu.serving import prepare_trajectory, render_trajectory_scan
 
-    prep = prepare_trajectory(model, params, zs, noise_bufs=noise_bufs)
+    prep = prepare_trajectory(model, params, zs, noise_bufs=noise_bufs,
+                              fold_rgb=fold_rgb)
 
     @jax.jit
     def traj(yaw):
-        return render_trajectory_scan(model, prep, yaw[:, 0])
+        return render_trajectory_scan(model, prep, yaw[:, 0],
+                                      fold_rgb=fold_rgb)
 
     return traj
 
@@ -74,12 +76,22 @@ VARIANTS = [
     ("fused_bufs", True, {"noise_bufs": noise_bufs}),
     ("fused_hash", True, {"noise_seed": 7}),
     ("prep_split", None, None),
+    ("fold_rgb", None, None),
 ]
+_sel = os.environ.get("AB_VARIANTS")
+if _sel:
+    keep = set(_sel.split(","))
+    VARIANTS = [v for v in VARIANTS if v[0] in keep]
 
 trajs = {}
 for name, fd, kw in VARIANTS:
     t0 = time.perf_counter()
-    tr = make_traj_prep_split() if name == "prep_split" else make_traj(fd, kw)
+    if name == "prep_split":
+        tr = make_traj_prep_split()
+    elif name == "fold_rgb":
+        tr = make_traj_prep_split(fold_rgb=True)
+    else:
+        tr = make_traj(fd, kw)
     float(tr(yaw))
     print(f"compiled {name} in {time.perf_counter()-t0:.0f}s", flush=True)
     trajs[name] = tr
