@@ -384,6 +384,10 @@ def _packed_kernel(
     # next block's packed layout (kills the feat->XLA conv->repack
     # relayout chain between fused blocks)
     y1_merge=False,  # next pack p' == 2p: merge even/odd W-blocks on lanes
+    tiles_per_frame=None,  # frame-batched serving: the row axis stacks F
+    # independent frames; the upsample halo must NOT leak across frame
+    # boundaries, so the edge masks fire at i % tiles_per_frame == 0 /
+    # tpf-1 instead of the global array edges. None = single frame.
 ):
     rest = list(rest)
     n1e_ref = n1o_ref = None
@@ -423,8 +427,13 @@ def _packed_kernel(
     yc = yc_ref[:].astype(jnp.float32)
     i = pl.program_id(0)
     g = pl.num_programs(0)
-    prev_row = jnp.where(i == 0, 0.0, yhp_ref[:].astype(jnp.float32))
-    next_row = jnp.where(i == g - 1, 0.0, yhn_ref[:].astype(jnp.float32))
+    if tiles_per_frame is None:
+        at_top, at_bot = i == 0, i == g - 1
+    else:
+        fi = i % tiles_per_frame
+        at_top, at_bot = fi == 0, fi == tiles_per_frame - 1
+    prev_row = jnp.where(at_top, 0.0, yhp_ref[:].astype(jnp.float32))
+    next_row = jnp.where(at_bot, 0.0, yhn_ref[:].astype(jnp.float32))
     yp = jnp.concatenate([prev_row, yc[:-1]], axis=0)
     yn = jnp.concatenate([yc[1:], next_row], axis=0)
 
@@ -441,7 +450,12 @@ def _packed_kernel(
     # per-pixel noise in (2T, 2Wb, P) — or pre-split even/odd (2T, Wb, P)
     # halves when folding (Mosaic cannot lane-concat offset slices)
     if hash_noise:
-        row0 = jnp.uint32(2 * t) * pl.program_id(0).astype(jnp.uint32)
+        # per-frame pixel ids when frame-batched (every frame re-uses the
+        # same trajectory-fixed noise realization)
+        fidx = (
+            i if tiles_per_frame is None else i % tiles_per_frame
+        )
+        row0 = jnp.uint32(2 * t) * fidx.astype(jnp.uint32)
 
         def hash_grid(seed, wblocks, col0_stride, col0_off):
             shape_p = (2 * t, wblocks, p)
@@ -663,7 +677,7 @@ def decoder_block_prepare(
     jax.jit,
     static_argnames=(
         "t_rows", "interpret", "out_dtype", "emit_feat", "colup_dtype",
-        "rgb_dtype", "fold_noise", "rgb_pack",
+        "rgb_dtype", "fold_noise", "rgb_pack", "frames",
     ),
 )
 def decoder_block_packed(
@@ -696,6 +710,11 @@ def decoder_block_packed(
     rgb_pack: str | None = None,  # None: auto ("rgbx" dense-lane store
     # whenever the width divides into 32-pixel groups, else the padded
     # (rows, 3P) store); or force "rgbx"/"pad" explicitly (tests)
+    frames: int = 1,  # frame-batched serving: y1 stacks `frames`
+    # independent frames along rows (Hp = frames * per-frame rows); the
+    # shared noise/bias/weight operands stay per-frame and the upsample
+    # halo is masked at frame boundaries. Trajectory rendering batches
+    # frames through ONE kernel launch instead of a per-frame scan.
     prepared=None,  # decoder_block_prepare(...) output: skips rebuilding
     # the y1-independent operands (trajectory-invariant serving prep).
     # noise1/noise2/w2/b1/b2/noise weights may then be None; wrgb/w_next/
@@ -743,14 +762,21 @@ def decoder_block_packed(
     if ypk.dtype not in (jnp.bfloat16, jnp.float32):
         ypk = ypk.astype(jnp.float32)
 
+    assert hp % frames == 0, (hp, frames)
+    hp_frame = hp // frames
+    assert hp_frame % t_rows == 0, (hp_frame, t_rows)
+    tpf = hp_frame // t_rows  # noise/halo tiles per frame
     g = hp // t_rows
     grid = (g,)
     row3 = lambda i: (i, 0, 0)
+    # per-frame operands (noise) repeat every tpf tiles when frame-batched
+    rowf = row3 if frames == 1 else (lambda i: (i % tpf, 0, 0))
     full2 = lambda i: (0, 0)
     tile = lambda r, w, ch: pl.BlockSpec((r, w, ch), row3, memory_space=pltpu.VMEM)
+    tilef = lambda r, w, ch: pl.BlockSpec((r, w, ch), rowf, memory_space=pltpu.VMEM)
     const = lambda a, b_: pl.BlockSpec((a, b_), full2, memory_space=pltpu.VMEM)
     # single-row halo blocks: row above / below the tile, clamped at edges
-    # (the kernel zero-masks them via program_id)
+    # (the kernel zero-masks them via program_id / frame boundary)
     halo_p = pl.BlockSpec(
         (1, wb, l), lambda i: (jnp.maximum(i * t_rows - 1, 0), 0, 0),
         memory_space=pltpu.VMEM,
@@ -769,13 +795,13 @@ def decoder_block_packed(
     elif fold_noise:
         # pre-split even/odd out-W-blocks (kernel lane-concats them)
         in_specs += [
-            tile(2 * t_rows, wb, p), tile(2 * t_rows, wb, p),
-            tile(2 * t_rows, 2 * wb, p),
+            tilef(2 * t_rows, wb, p), tilef(2 * t_rows, wb, p),
+            tilef(2 * t_rows, 2 * wb, p),
         ]
         operands += list(prepared["noise"])
     else:
         in_specs += [
-            tile(2 * t_rows, 2 * wb, p), tile(2 * t_rows, 2 * wb, p)
+            tilef(2 * t_rows, 2 * wb, p), tilef(2 * t_rows, 2 * wb, p)
         ]
         operands += list(prepared["noise"])
     if fold_noise:
@@ -862,6 +888,7 @@ def decoder_block_packed(
         fold_noise=fold_noise,
         emit_y1=emit_y1,
         y1_merge=y1_merge,
+        tiles_per_frame=None if frames == 1 else tpf,
     )
     outs = pl.pallas_call(
         kernel,

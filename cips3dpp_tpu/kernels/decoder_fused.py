@@ -267,8 +267,18 @@ def decoder_fused_render(
     fold_noise: bool = False,
     chain_y1: bool = False,
 ):
-    """Per-frame half: everything that depends on the renderer features."""
-    assert features.shape[0] == 1, "fused decoder is the batch-1 serving path"
+    """Per-frame half: everything that depends on the renderer features.
+
+    `features` may carry F > 1 leading entries — F FRAMES of the same
+    identity (one trajectory, shared styles/noise), rendered through one
+    launch per block with the frame axis stacked on kernel rows
+    (decoder_block_packed frames=F). This is the TPU-idiomatic trajectory
+    path: the per-frame XLA glue (weight staging, transition relayouts,
+    skip fusions) amortizes over the whole chunk."""
+    f = features.shape[0]
+    # chain_y1 emits successor conv_a packed per-tile; untested across
+    # stacked frame rows (and measured slower anyway) — keep them exclusive
+    assert not (chain_y1 and f > 1), "chain_y1 is single-frame only"
     dt = jnp.dtype(dtype)
 
     def styled_conv(rec, x):
@@ -317,8 +327,10 @@ def decoder_fused_render(
                 y1 = y1_carry
                 y1_carry = None
             else:
-                y1 = _matmul_img(x, rec["wa"], dt)[0].astype(dt)
-            hp = y1.shape[0]
+                # frame axis stacked on rows: (F, Hp, Wp, C) -> (F*Hp, ..)
+                y1b = _matmul_img(x, rec["wa"], dt).astype(dt)
+                y1 = y1b.reshape(-1, *y1b.shape[2:])
+            hp = y1.shape[0] // f
             out = decoder_block_packed(
                 y1,
                 None,
@@ -336,17 +348,19 @@ def decoder_fused_render(
                 colup_dtype=dt if dt == jnp.bfloat16 else jnp.float32,
                 rgb_dtype=dt,
                 fold_noise=fold_noise,
+                frames=f,
             )
             outs = list(out) if isinstance(out, tuple) else [out]
             if w_next_c is not None:
                 y1_carry = outs.pop()
+            unstack = lambda a: a.reshape(f, a.shape[0] // f, *a.shape[1:])
             if fold_rgb:
                 feat, rgb = (None, outs[0]) if last else outs
-                x = None if last else feat[None]
-                rgb = rgb[None].astype(jnp.float32) + rec["rgb_b"]
+                x = None if last else unstack(feat)
+                rgb = unstack(rgb).astype(jnp.float32) + rec["rgb_b"]
                 skip = rgb + upsample2x(skip)
             else:
-                x = outs[0][None]
+                x = unstack(outs[0])
                 skip = to_rgb(rec["rgb"], x, skip, True)
         else:
             x = styled_conv(rec["a"], x)

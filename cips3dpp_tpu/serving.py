@@ -91,15 +91,21 @@ def prepare_trajectory(
 def render_frame(
     model,
     prep,  # prepare_trajectory(...) output
-    azim,  # (1,) yaw
-    elev,  # (1,) pitch
+    azim,  # (F,) yaw — F frames of ONE identity in a single launch
+    elev,  # (F,) pitch
     *,
     img_size: int | None = None,
     interpret: bool = False,  # CPU/interpret kernels (tests)
     fold_rgb: bool = True,  # must match prepare_trajectory
 ):
-    """One frame from prepped state + camera angles. Returns
-    {"rgb": (1, out, out, 3), "thumb_rgb": (1, img, img, 3)}."""
+    """F frames from prepped state + camera angles, in one XLA program.
+
+    F > 1 is the frame-batched trajectory path: rays of all frames stack on
+    the SIREN's ray axis and the decoder runs one kernel launch per block
+    with the frame axis stacked on kernel rows (decoder_fused_render
+    frames=F) — per-frame XLA glue (weight staging, transition relayouts,
+    skip fusions) amortizes over the chunk. Returns
+    {"rgb": (F, out, out, 3), "thumb_rgb": (F, img, img, 3)}."""
     cfg = model.cfg
     img_size = img_size or cfg.img_size
     cam = camera_from_angles(
@@ -117,8 +123,7 @@ def render_frame(
         static_viewdirs=cfg.static_viewdirs,
     )
     b, h, w, n, _ = pts.shape
-    assert b == 1, "batch-1 serving path"
-    flat = lambda a: a.reshape(h * w, *a.shape[3:])
+    flat = lambda a: a.reshape(b * h * w, *a.shape[3:])
     thumb, feat, _, _, _ = siren_render_prepared(
         prep["siren"],
         flat(pts),
@@ -127,7 +132,7 @@ def render_frame(
         flat(rays_d),
         interpret=interpret,
     )
-    features = feat.reshape(1, h, w, -1)
+    features = feat.reshape(b, h, w, -1)
     dec = cfg.decoder
     rgb = decoder_fused_render(
         prep["dec"],
@@ -140,23 +145,35 @@ def render_frame(
         interpret=interpret,
         fold_rgb=fold_rgb,
     )
-    return {"rgb": rgb, "thumb_rgb": thumb.reshape(1, h, w, 3)}
+    return {"rgb": rgb, "thumb_rgb": thumb.reshape(b, h, w, 3)}
 
 
 def render_trajectory_scan(model, prep, yaws, elev=None, *, interpret=False,
-                           fold_rgb=True):
+                           fold_rgb=True, frames_per_step: int = 1):
     """Scan all frames in ONE XLA program (zero host dispatch between
     frames), returning a checksum-friendly stacked rgb mean per frame plus
     the last frame. Building block for benches; apps stack full frames
-    themselves when they need pixels."""
+    themselves when they need pixels.
+
+    frames_per_step > 1 chunks the trajectory into frame batches rendered
+    through one kernel launch per decoder block (render_frame's F-frame
+    path); len(yaws) must divide evenly."""
     if elev is None:
         elev = jnp.zeros_like(yaws)
+    fps_ = frames_per_step
+    assert yaws.shape[0] % fps_ == 0, (yaws.shape, fps_)
 
     def body(carry, ae):
         az, el = ae
-        out = render_frame(model, prep, az.reshape(1), el.reshape(1),
+        out = render_frame(model, prep, az.reshape(fps_), el.reshape(fps_),
                            interpret=interpret, fold_rgb=fold_rgb)
-        return carry + out["rgb"].astype(jnp.float32).mean(), None
+        # per-frame means summed -> checksum comparable across
+        # frames_per_step choices (parity checks in the A/B tools)
+        rgb32 = out["rgb"].astype(jnp.float32)
+        return carry + rgb32.mean(axis=(1, 2, 3)).sum(), None
 
-    checksum, _ = jax.lax.scan(body, jnp.zeros(()), (yaws, elev))
+    checksum, _ = jax.lax.scan(
+        body, jnp.zeros(()),
+        (yaws.reshape(-1, fps_), elev.reshape(-1, fps_)),
+    )
     return checksum

@@ -512,3 +512,53 @@ def test_decoder_block_packed_fold_noise(c):
     # same realization up to cross-program FMA-contraction noise (see
     # test_decoder_block_packed_hash_noise)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=0, atol=5e-3)
+
+
+def test_decoder_fused_render_frame_batched():
+    """decoder_fused_render with F frames stacked on the leading axis ==
+    per-frame renders from the SAME prep — for both the padded-rgb and
+    dense-lane (fold_rgb) stores, and for hash-noise prep (per-frame noise
+    row ids inside the kernel)."""
+    from cips3dpp_tpu.models.decoder import Decoder
+    from cips3dpp_tpu.kernels.decoder_fused import (
+        decoder_fused_prepare,
+        decoder_fused_render,
+    )
+
+    dec = Decoder(
+        size_start=4, size_end=1024, in_channel=64, channel_multiplier=2,
+        kernel_size=1, upsample_list=(128, 256, 512, 1024),
+    )
+    key = jax.random.PRNGKey(0)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 8, 64))
+    styles = jax.random.normal(jax.random.PRNGKey(2), (1, dec.n_latent, 512))
+    noise = dec.make_noise(jax.random.PRNGKey(3), 8)
+    variables = dec.init(key, feats[:1], styles, noise)
+    kw = dict(
+        upsample_list=(128, 256, 512, 1024), dtype=jnp.float32,
+    )
+
+    for fold_rgb, noise_kw in (
+        (False, {"noise": noise}),
+        (True, {"noise": noise}),
+        (True, {"noise": None, "noise_seed": 42}),
+    ):
+        prep = decoder_fused_prepare(
+            variables["params"], styles, noise_kw.get("noise"),
+            fold_rgb=fold_rgb, feat_size=8,
+            noise_seed=noise_kw.get("noise_seed"), **kw,
+        )
+        batched = decoder_fused_render(
+            prep, feats, interpret=True, fold_rgb=fold_rgb, **kw
+        )
+        singles = jnp.concatenate([
+            decoder_fused_render(
+                prep, feats[i : i + 1], interpret=True, fold_rgb=fold_rgb,
+                **kw,
+            )
+            for i in range(3)
+        ])
+        assert batched.shape == (3, 128, 128, 3)
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(singles), rtol=0, atol=1e-5
+        )

@@ -130,3 +130,42 @@ def test_render_trajectory_scan_runs_and_depends_on_camera():
     want = (np.asarray(a["rgb"], np.float32).mean()
             + np.asarray(b["rgb"], np.float32).mean())
     np.testing.assert_allclose(float(checksum), want, rtol=0, atol=1e-5)
+
+
+def test_render_frame_batched_matches_per_frame():
+    """F frames through one launch (frame axis stacked on kernel rows) ==
+    the same frames rendered one by one from the same prep. Exercises the
+    frame-boundary halo masks and per-frame noise tiling in
+    decoder_block_packed(frames=F)."""
+    model, params, zs = _tiny_serving_model()
+    noise = model.bind(params).decoder.make_noise(
+        jax.random.PRNGKey(7), model.cfg.img_size
+    )
+    prep = prepare_trajectory(model, params, zs, noise_bufs=noise)
+    azims = jnp.array([0.25, 0.0, -0.25])
+    elevs = jnp.array([0.0, 0.1, -0.1])
+
+    batched = render_frame(model, prep, azims, elevs, interpret=True)
+    singles = [
+        render_frame(model, prep, azims[i : i + 1], elevs[i : i + 1],
+                     interpret=True)
+        for i in range(3)
+    ]
+    assert batched["rgb"].shape == (3, 64, 64, 3)
+    for k in ("rgb", "thumb_rgb"):
+        want = np.concatenate([np.asarray(s[k]) for s in singles])
+        np.testing.assert_allclose(
+            np.asarray(batched[k]), want, rtol=0, atol=1e-5
+        )
+
+    # scan with frames_per_step grouping gives the same trajectory checksum
+    yaws = jnp.array([0.25, 0.0, -0.25, 0.4])
+    c1 = jax.jit(
+        lambda p, y: render_trajectory_scan(model, p, y, interpret=True,
+                                            frames_per_step=1)
+    )(prep, yaws)
+    c2 = jax.jit(
+        lambda p, y: render_trajectory_scan(model, p, y, interpret=True,
+                                            frames_per_step=2)
+    )(prep, yaws)
+    np.testing.assert_allclose(float(c1), float(c2), rtol=0, atol=1e-5)
