@@ -54,10 +54,11 @@ def make_traj(fused_dec, noise_kw):
     return traj
 
 
-def make_traj_prep_split(fold_rgb=False):
+def make_traj_prep_split(fold_rgb=False, frames_per_step=1):
     """serving.prepare_trajectory once + render_trajectory_scan: all
     style/weight/noise prep hoisted OUT of the scan body (vs relying on
-    XLA loop-invariant code motion in the model.apply variants)."""
+    XLA loop-invariant code motion in the model.apply variants).
+    frames_per_step>1 = frame-batched kernel launches."""
     from cips3dpp_tpu.serving import prepare_trajectory, render_trajectory_scan
 
     prep = prepare_trajectory(model, params, zs, noise_bufs=noise_bufs,
@@ -66,7 +67,8 @@ def make_traj_prep_split(fold_rgb=False):
     @jax.jit
     def traj(yaw):
         return render_trajectory_scan(model, prep, yaw[:, 0],
-                                      fold_rgb=fold_rgb)
+                                      fold_rgb=fold_rgb,
+                                      frames_per_step=frames_per_step)
 
     return traj
 
@@ -77,6 +79,9 @@ VARIANTS = [
     ("fused_hash", True, {"noise_seed": 7}),
     ("prep_split", None, None),
     ("fold_rgb", None, None),
+    ("frames2", None, None),
+    ("frames4", None, None),
+    ("frames8", None, None),
 ]
 _sel = os.environ.get("AB_VARIANTS")
 if _sel:
@@ -90,6 +95,9 @@ for name, fd, kw in VARIANTS:
         tr = make_traj_prep_split()
     elif name == "fold_rgb":
         tr = make_traj_prep_split(fold_rgb=True)
+    elif name.startswith("frames"):
+        tr = make_traj_prep_split(fold_rgb=True,
+                                  frames_per_step=int(name[len("frames"):]))
     else:
         tr = make_traj(fd, kw)
     float(tr(yaw))
