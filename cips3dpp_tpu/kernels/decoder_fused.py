@@ -136,6 +136,9 @@ def decoder_fused_prepare(
     (kron expansions, bias tiles), noise buffers reshaped/cast to their
     kernel dtypes. Returns a pytree for `decoder_fused_render`; the static
     kwargs passed here must be repeated at render time."""
+    # ONE identity per prep: a multi-frame render shares these styles
+    # (per-sample style batches must go through the flax Decoder)
+    assert styles.shape[0] == 1, styles.shape
     log_in = int(math.log2(size_start))
     log_out = int(math.log2(size_end))
     n_latent = (log_out - log_in) * 2 + 2
