@@ -71,6 +71,9 @@ def main():
                     help="r64 = small smoke config (CPU-feasible)")
     ap.add_argument("--per-step", action="store_true",
                     help="time each step variant separately (attribution)")
+    ap.add_argument("--trace", default=None,
+                    choices=["d_step", "d_step_r1", "g_step", "path_step"],
+                    help="profile ONE step variant; print top device ops")
     args = ap.parse_args()
 
     import dataclasses
@@ -222,6 +225,55 @@ def main():
     # ---- execute: warmup each variant once (compile), then timed loop ----
     rngs = jax.random.split(jax.random.PRNGKey(42), 8 * args.iters + 32)
     ri = iter(range(len(rngs)))
+
+    if args.trace:
+        # op-level attribution of ONE step variant (same xplane parse as
+        # tools/trace_serving.py); trace AFTER a warmup run so only the
+        # steady-state program is captured
+        import collections
+        import glob
+        import shutil
+
+        calls = {
+            "d_step": lambda s, k: d_step(s, real, k, alpha, False),
+            "d_step_r1": lambda s, k: d_step(s, real, k, alpha, True),
+            "g_step": lambda s, k: g_step(s, k, alpha),
+            "path_step": lambda s, k: path_step(s, k),
+        }
+        call = calls[args.trace]
+        t0 = time.perf_counter()
+        state, _ = call(state, rngs[next(ri)])
+        float(jax.tree.leaves(state.params_g)[0].ravel()[0])
+        print(f"# compiled {args.trace} in {time.perf_counter()-t0:.0f}s",
+              file=sys.stderr, flush=True)
+        outdir = "/tmp/jax-trace-train"
+        shutil.rmtree(outdir, ignore_errors=True)
+        jax.profiler.start_trace(outdir)
+        for _ in range(2):
+            state, _ = call(state, rngs[next(ri)])
+        float(jax.tree.leaves(state.params_g)[0].ravel()[0])
+        jax.profiler.stop_trace()
+
+        from jax.profiler import ProfileData
+
+        agg = collections.Counter()
+        tot = 0.0
+        for p in glob.glob(outdir + "/**/*.xplane.pb", recursive=True):
+            pd = ProfileData.from_file(p)
+            for plane in pd.planes:
+                if "TPU" not in plane.name and "tpu" not in plane.name:
+                    continue
+                for line in plane.lines:
+                    if "step" in (line.name or "").lower():
+                        continue
+                    for ev in line.events:
+                        agg[ev.name] += ev.duration_ns / 1e6
+                        tot += ev.duration_ns / 1e6
+        for name, ms in agg.most_common(45):
+            print(f"{ms/2:9.3f} ms  {name[:120]}")
+        print(f"# total accounted {tot/2:.1f} ms/call over 2 calls",
+              flush=True)
+        return
 
     if args.per_step:
         # Where does the amortized iteration go? Each variant timed alone,
