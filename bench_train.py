@@ -50,13 +50,15 @@ def fill_like(tree, scale=0.05, seed=0):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
-    # defaults = the configuration that FITS one v5e's HBM at batch 4
-    # (bf16 Ds + remat_d + chunked lazy-R1); fp32 no-remat OOMs d_step_r1
-    # (17.6 GB vs 15.75) — pass --d-dtype float32 --no-remat-d to reproduce
-    # the memory table in docs/STATUS.md
+    # defaults = the fastest configuration that FITS one v5e's HBM at
+    # batch 4: bf16 Ds + NO remat + chunked lazy-R1 (mem-only: d_step_r1
+    # 15.17 of 15.75 GB; measured 0.854 s/iter vs 1.048 with remat — the
+    # remat recompute + XLA's compressed-remat copy pairs were ~18% of the
+    # iteration). fp32 no-remat OOMs d_step_r1 (17.6 GB) — pass
+    # --d-dtype float32 --remat-d to reproduce the docs/STATUS.md table.
     ap.add_argument("--d-dtype", default="bfloat16")
     ap.add_argument("--remat-d", dest="remat_d", action="store_true",
-                    default=True)
+                    default=False)
     ap.add_argument("--no-remat-d", dest="remat_d", action="store_false")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--mem-only", action="store_true")
