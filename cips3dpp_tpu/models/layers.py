@@ -168,7 +168,13 @@ class Blur(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = make_blur_kernel(tuple(self.blur_kernel), self.upsample_factor)
-        return upfirdn2d(x, k, pad=self.pad)
+        from ..ops.upfirdn2d import blur, separable_taps
+
+        # 4-tap taps for the separable shift-add form (OFF by default:
+        # measured slower than the depthwise conv in d_step — see
+        # ops.upfirdn2d.SEPARABLE_BLUR)
+        k1d = separable_taps(tuple(self.blur_kernel), self.upsample_factor)
+        return blur(x, k, pad=self.pad, k1d=k1d)
 
 
 class ConvLayer(nn.Module):
@@ -279,16 +285,22 @@ class ModulatedConv2d(nn.Module):
             )
             oh, ow = out.shape[1], out.shape[2]
             out = out.reshape(oh, ow, b, self.out_channel).transpose(2, 0, 1, 3)
+            from ..ops.upfirdn2d import blur, separable_taps
+
             kblur = make_blur_kernel(tuple(self.blur_kernel), factor)
-            return upfirdn2d(out, kblur, pad=(pad0, pad1))
+            return blur(out, kblur, pad=(pad0, pad1),
+                        k1d=separable_taps(tuple(self.blur_kernel), factor))
 
         if self.downsample:
             factor = 2
             p = (len(self.blur_kernel) - factor) + (k - 1)
             pad0 = (p + 1) // 2
             pad1 = p // 2
+            from ..ops.upfirdn2d import blur, separable_taps
+
             kblur = make_blur_kernel(tuple(self.blur_kernel))
-            x = upfirdn2d(x, kblur, pad=(pad0, pad1))
+            x = blur(x, kblur, pad=(pad0, pad1),
+                     k1d=separable_taps(tuple(self.blur_kernel)))
             wmod = _modulate_weights_kxk(weight, s, self.demodulate)
             bh, bw = x.shape[1], x.shape[2]
             lhs = jnp.transpose(x, (1, 2, 0, 3)).reshape(1, bh, bw, b * cin)

@@ -80,9 +80,53 @@ def upfirdn2d(
     return out
 
 
-def blur(x: jnp.ndarray, kernel: jnp.ndarray, pad: tuple) -> jnp.ndarray:
-    """Blur module (model_v3.py:126-142): plain FIR filter with given pads."""
+def _fir4_axis(y: jnp.ndarray, axis: int, k1d, pad0: int, pad1: int,
+               down: int = 1) -> jnp.ndarray:
+    """1-D 4-tap FIR along `axis` with zero pads and decimation, as 4
+    (strided-)slice FMAs — pure VPU work XLA fuses into one pass. True
+    convolution: cross-correlate with the flipped taps."""
+    kf = [float(v) for v in np.asarray(k1d)][::-1]
+    pw = [(0, 0)] * y.ndim
+    pw[axis] = (pad0, pad1)
+    xp = jnp.pad(y, pw)
+    n = xp.shape[axis]
+    out_len = (n - 4) // down + 1
+    out = None
+    for j, kj in enumerate(kf):
+        s = jax.lax.slice_in_dim(
+            xp, j, j + down * (out_len - 1) + 1, stride=down, axis=axis
+        )
+        out = kj * s if out is None else out + kj * s
+    return out
+
+
+def blur(x: jnp.ndarray, kernel: jnp.ndarray, pad: tuple,
+         k1d=None) -> jnp.ndarray:
+    """Blur module (model_v3.py:126-142): plain FIR filter with given pads.
+
+    `k1d`: the kernel's separable 1-D taps, when the caller knows them
+    (len-4 only). Depthwise convs bypass the MXU and dominate the image
+    discriminator's time at 1024^2 (the reference leans on its CUDA
+    upfirdn2d kernel here, exp/op/upfirdn2d_kernel.cu); the separable
+    shift-add form is elementwise VPU work instead. Zero pads commute
+    with a separable kernel, so axis-by-axis == the 2-D depthwise conv
+    in exact arithmetic.
+    """
+    if k1d is not None and len(k1d) == 4 and SEPARABLE_BLUR:
+        x = _fir4_axis(x, 1, k1d, pad[0], pad[1])
+        return _fir4_axis(x, 2, k1d, pad[0], pad[1])
     return upfirdn2d(x, kernel, up=1, down=1, pad=pad)
+
+
+# trace-time switch for the separable shift-add blur/downsample forms.
+# Measured SLOWER than XLA's depthwise-conv lowering inside the training
+# d_step (650 vs 811 ms median, same-process interleaved A/B on v5e,
+# identical checksums — tools/ab_blur.py): the 4 strided-slice FMAs per
+# axis materialize full-res intermediates where the depthwise conv is one
+# fused sliding window. OFF by default; the harness flips it between jits.
+# (The serving decoder's in-kernel/upsample2x shift-adds are a different
+# case — they replace zero-stuffed transposed convs and remain a win.)
+SEPARABLE_BLUR = False
 
 
 def _upsample2x_separable_4tap(x: jnp.ndarray, k1d) -> jnp.ndarray:
@@ -131,9 +175,24 @@ def upsample2x(x: jnp.ndarray, blur_kernel=(1, 3, 3, 1)) -> jnp.ndarray:
     return upfirdn2d(x, k, up=factor, down=1, pad=(pad0, pad1))
 
 
+def separable_taps(blur_kernel, upsample_factor: int = 1):
+    """Normalised 1-D taps whose outer product == make_blur_kernel(...):
+    k/sum(k) * upsample_factor per axis (the 2-D gain splits evenly)."""
+    k = np.asarray(blur_kernel, np.float32)
+    if k.ndim != 1:
+        return None
+    return tuple(k / k.sum() * upsample_factor)
+
+
 def downsample2x(x: jnp.ndarray, blur_kernel=(1, 3, 3, 1)) -> jnp.ndarray:
     """StyleGAN2 Downsample (model_v3.py:105-123): blur + stride-2 decimation."""
     factor = 2
+    if len(blur_kernel) == 4 and SEPARABLE_BLUR:
+        # fused blur+decimate as 4 strided-slice FMAs per axis (the
+        # depthwise-conv form bypasses the MXU; see blur())
+        k1d = separable_taps(blur_kernel)
+        x = _fir4_axis(x, 1, k1d, 1, 1, down=factor)
+        return _fir4_axis(x, 2, k1d, 1, 1, down=factor)
     k = make_blur_kernel(blur_kernel)
     p = k.shape[0] - factor
     pad0 = (p + 1) // 2
