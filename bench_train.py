@@ -273,6 +273,15 @@ def main():
                         tot += ev.duration_ns / 1e6
         for name, ms in agg.most_common(45):
             print(f"{ms/2:9.3f} ms  {name[:120]}")
+        # category rollup: first HLO token (fusion/convolution/copy/...)
+        cats = collections.Counter()
+        for name, ms in agg.items():
+            tok = name.split(" = ")[0].lstrip("%").split(".")[0]
+            tok = tok.rstrip("0123456789_")
+            cats[tok] += ms
+        print("# --- category rollup (ms/call) ---")
+        for tok, ms in cats.most_common(25):
+            print(f"{ms/2:9.3f} ms  {tok}")
         print(f"# total accounted {tot/2:.1f} ms/call over 2 calls",
               flush=True)
         return

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from ..ops import fused_leaky_relu, upfirdn2d, make_blur_kernel, upsample2x
+from ..ops.upfirdn2d import _blur_kernel_np as _blur_kernel_np_outer
 from ..ops.modulated import modulated_matmul, modulated_conv2d, _modulate_weights_kxk
 
 
@@ -127,13 +128,23 @@ class MappingLinear(nn.Module):
 
 
 class EqualConv2d(nn.Module):
-    """Equalised-lr conv, NHWC (model_v3.py:145-180)."""
+    """Equalised-lr conv, NHWC (model_v3.py:145-180).
+
+    blur_down=(blur_kernel, pad0, pad1): run as blur-THEN-conv composed
+    into one dense stride-2 (k+3)x(k+3) conv. Convolutions compose, so
+    K = W (*) B (a full 2-D convolution of the small kernels, trace-time)
+    applied with the Blur's own pads reproduces Blur(pad)->conv(stride 2)
+    exactly in exact arithmetic (B is symmetric so correlate==convolve).
+    Same param ("weight" (k,k,cin,cout)) — checkpoint-compatible. Motive:
+    the depthwise blur conv bypasses the MXU and XLA brackets the pair
+    with full-res layout copies (~1/3 of d_step time at 1024^2)."""
 
     out_channel: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    blur_down: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -145,6 +156,34 @@ class EqualConv2d(nn.Module):
             (k, k, cin, self.out_channel),
         )
         scale = 1.0 / np.sqrt(cin * k * k)
+        if self.blur_down is not None:
+            blur_kernel, pad0, pad1 = self.blur_down
+            kb = np.asarray(
+                _blur_kernel_np_outer(tuple(blur_kernel)), np.float32
+            )  # (4,4) normalized
+            # full 2-D convolution of the spatial taps: K[m,n] =
+            # sum_{u,v} B[u,v] W[m-u, n-v] -> (k+3, k+3)
+            wk = jnp.zeros(
+                (k + kb.shape[0] - 1, k + kb.shape[1] - 1, cin,
+                 self.out_channel),
+                jnp.float32,
+            )
+            for u in range(kb.shape[0]):
+                for v in range(kb.shape[1]):
+                    wk = wk.at[u : u + k, v : v + k].add(kb[u, v] * w)
+            out = jax.lax.conv_general_dilated(
+                x,
+                (wk * scale).astype(x.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=((pad0, pad1), (pad0, pad1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if self.use_bias:
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.out_channel,)
+                )
+                out = out + b
+            return out
         out = jax.lax.conv_general_dilated(
             x,
             (w * scale).astype(x.dtype),
@@ -177,6 +216,17 @@ class Blur(nn.Module):
         return blur(x, k, pad=self.pad, k1d=k1d)
 
 
+# Fold the 4-tap FIR blur into the following stride-2 conv as ONE dense
+# (k+3)x(k+3) conv: blur-then-conv is a composition of convolutions, so the
+# kernels compose at trace time — CC_W(stride 2) . TC_B == CC_{W*B}(stride 2)
+# with the SAME pads (B is symmetric, so flip(B) == B). Removes the
+# MXU-bypassing depthwise blur conv, its full-res intermediate, and the
+# layout copies XLA inserts around the pair (~1/3 of d_step was `copy`).
+# Derived from the same stored weights, so checkpoint parity is preserved
+# up to bf16/fp32 rounding of the composed kernel.
+FUSE_DOWN_CONV = True
+
+
 class ConvLayer(nn.Module):
     """[Blur] -> EqualConv2d -> [FusedLeakyReLU] (model_v3.py:485-519)."""
 
@@ -189,13 +239,20 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        blur_down = None
         if self.downsample:
             factor = 2
             p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
             pad0 = (p + 1) // 2
             pad1 = p // 2
-            x = Blur(pad=(pad0, pad1), blur_kernel=self.blur_kernel)(x)
-            stride, padding = 2, 0
+            if FUSE_DOWN_CONV and len(self.blur_kernel) == 4:
+                # blur composed into the conv kernel; EqualConv2d keeps the
+                # exact same param path/shape, so checkpoints are unaffected
+                blur_down = (tuple(self.blur_kernel), pad0, pad1)
+                stride, padding = 2, 0
+            else:
+                x = Blur(pad=(pad0, pad1), blur_kernel=self.blur_kernel)(x)
+                stride, padding = 2, 0
         else:
             stride, padding = 1, self.kernel_size // 2
         x = EqualConv2d(
@@ -204,6 +261,7 @@ class ConvLayer(nn.Module):
             stride=stride,
             padding=padding,
             use_bias=self.use_bias and not self.activate,
+            blur_down=blur_down,
         )(x)
         if self.activate:
             b = (

@@ -268,3 +268,34 @@ def test_map_zs_inject_index_crossover(tiny_gen):
         rngs={"noise": jax.random.PRNGKey(9)},
     )
     assert np.isfinite(np.asarray(out["rgb"])).all()
+
+
+def test_convlayer_fused_blur_down_exact():
+    """FUSE_DOWN_CONV composes Blur(4-tap) -> stride-2 conv into one dense
+    (k+3)x(k+3) conv from the SAME stored weight: outputs must match the
+    two-op form to fp32 reassociation noise, and the param tree must be
+    IDENTICAL (path, shape, init values) so checkpoints are unaffected."""
+    import cips3dpp_tpu.models.layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 8))
+    orig = L.FUSE_DOWN_CONV
+    try:
+        for k in (1, 3):
+            outs, params = {}, None
+            for flag in (False, True):
+                L.FUSE_DOWN_CONV = flag
+                m = L.ConvLayer(12, k, downsample=True)
+                p = m.init(jax.random.PRNGKey(1), x)
+                if params is None:
+                    params = p
+                assert jax.tree.structure(p) == jax.tree.structure(params)
+                for a, b_ in zip(jax.tree.leaves(p), jax.tree.leaves(params)):
+                    np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+                outs[flag] = m.apply(params, x)
+            assert outs[True].shape == outs[False].shape == (2, 8, 8, 12)
+            np.testing.assert_allclose(
+                np.asarray(outs[True]), np.asarray(outs[False]),
+                rtol=0, atol=1e-5,
+            )
+    finally:
+        L.FUSE_DOWN_CONV = orig

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from cips3dpp_tpu.ops import upfirdn2d as ufd
+import cips3dpp_tpu.models.layers as layers_mod
 from cips3dpp_tpu.models.generator import Generator, preset_r1024
 from cips3dpp_tpu.models.discriminator import DStyleGANProgressive
 from cips3dpp_tpu.models.discriminator_pose import DVolumeRenderProgressive
@@ -89,8 +90,14 @@ alpha = jnp.ones(())
 rngs = jax.random.split(jax.random.PRNGKey(42), 4096)
 
 variants = {}
-for name, flag in (("separable", True), ("depthwise", False)):
-    ufd.SEPARABLE_BLUR = flag
+# (SEPARABLE_BLUR, FUSE_DOWN_CONV) per variant
+FLAG_SETS = {"fuse_down": (False, True), "depthwise": (False, False),
+             "separable": (True, False)}
+names = os.environ.get("AB_VARIANTS", "fuse_down,depthwise").split(",")
+for name in names:
+    sep, fuse = FLAG_SETS[name]
+    ufd.SEPARABLE_BLUR = sep
+    layers_mod.FUSE_DOWN_CONV = fuse
     # donate=False: both variants share the same immutable state pytrees
     d_step, _, _, _ = make_train_steps(
         generator, d_decoder, d_render, gen_cfg, cfg,
