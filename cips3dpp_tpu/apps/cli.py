@@ -797,11 +797,18 @@ def cmd_prepare_data(argv):
                         "(prepare_data.py:23-80), readable by both stacks")
     p.add_argument("--n-workers", type=int, default=0,
                    help="multiprocessing resize workers (0 = in-process)")
+    p.add_argument("--crop-size", type=int, nargs="*", default=None,
+                   help="explicit centered crop W [H] before resizing "
+                        "(the crop_data.py tool); default = max square")
     args = p.parse_args(argv)
     from ..io.dataset import prepare_images, prepare_images_lmdb
 
+    crop = args.crop_size
+    if crop is not None:
+        crop = tuple(crop) if len(crop) == 2 else int(crop[0])
     fn = prepare_images_lmdb if args.format == "lmdb" else prepare_images
-    out = fn(args.src, args.outdir, sizes=args.sizes, n_workers=args.n_workers)
+    out = fn(args.src, args.outdir, sizes=args.sizes,
+             n_workers=args.n_workers, crop_size=crop)
     print(json.dumps({"outdir": out, "format": args.format}))
 
 

@@ -171,24 +171,32 @@ def _list_images(src_dir: str):
 def _center_crop_resize(args):
     """Worker: one source image -> {size: uint8 HWC array}. Top-level so it
     pickles for multiprocessing (the reference's pool worker,
-    prepare_data.py:23-46)."""
-    path, sizes = args
+    prepare_data.py:23-46). crop_size=None crops to the centered max square
+    (prepare_data.py); an explicit (crop_w, crop_h) reproduces the
+    crop_data.py tool's fixed centered window (crop_data.py:23-46)."""
+    path, sizes, crop_size = args
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    s = min(w, h)
-    img = img.crop(((w - s) // 2, (h - s) // 2, (w + s) // 2, (h + s) // 2))
+    if crop_size is None:
+        cw = ch = min(w, h)
+    else:
+        cw, ch = crop_size
+    left, upper = (w - cw) // 2, (h - ch) // 2
+    img = img.crop((left, upper, left + cw, upper + ch))
     return {
         size: np.asarray(img.resize((size, size), Image.LANCZOS))
         for size in sizes
     }
 
 
-def _resized_stream(files, sizes, n_workers: int):
+def _resized_stream(files, sizes, n_workers: int, crop_size=None):
     """Ordered stream of per-image {size: array} dicts, optionally through a
     multiprocessing pool (reference: prepare_data.py:69-80)."""
-    work = [(f, tuple(sizes)) for f in files]
+    if isinstance(crop_size, int):
+        crop_size = (crop_size, crop_size)
+    work = [(f, tuple(sizes), crop_size) for f in files]
     if n_workers and n_workers > 1:
         import multiprocessing
 
@@ -204,9 +212,11 @@ def prepare_images(
     sizes: Sequence[int] = (1024,),
     shard_size: int = 10_000,
     n_workers: int = 0,
+    crop_size=None,
 ):
     """Native prepare tool (reference: prepare_data.py:23-80): center-crop to
-    square, lanczos-resize to each size, write uint8 .npy shards. One pass
+    square (or to an explicit crop_size window, the crop_data.py tool),
+    lanczos-resize to each size, write uint8 .npy shards. One pass
     over the sources produces every size."""
     os.makedirs(out_dir, exist_ok=True)
     files = _list_images(src_dir)
@@ -224,7 +234,7 @@ def prepare_images(
             shards[size] = []
             shard_idx[size] += 1
 
-    for per_size in _resized_stream(files, sizes, n_workers):
+    for per_size in _resized_stream(files, sizes, n_workers, crop_size):
         for size, arr in per_size.items():
             shards[size].append(arr)
             if len(shards[size]) == shard_size:
@@ -241,6 +251,7 @@ def prepare_images_lmdb(
     n_workers: int = 0,
     quality: int = 100,
     map_size: int = 1 << 40,
+    crop_size=None,
 ):
     """Multi-size LMDB builder matching the reference's tool exactly
     (prepare_data.py:23-80): keys f"{size}-{idx:05d}" hold JPEG bytes, plus a
@@ -254,7 +265,9 @@ def prepare_images_lmdb(
     try:
         with env.begin(write=True) as txn:
             txn.put(b"length", str(len(files)).encode("utf-8"))
-        for idx, per_size in enumerate(_resized_stream(files, sizes, n_workers)):
+        for idx, per_size in enumerate(
+            _resized_stream(files, sizes, n_workers, crop_size)
+        ):
             with env.begin(write=True) as txn:
                 for size, arr in per_size.items():
                     buf = io.BytesIO()

@@ -38,16 +38,30 @@ _SIN_C = (
     -0.00019215724206787978,
     2.125150239026409e-06,
 )
+# degree-7 odd minimax (Lawson-iterated lstsq), max err 2.5e-4 — still an
+# order below the bf16 activations downstream; saves one FMA per element.
+_SIN_C7 = (
+    0.9992758282410646,
+    -0.1656670344137187,
+    0.007958082735916722,
+    -0.0001450787306795439,
+)
+# Trace-time switch (A/B harness flips it between jits): 9 = default.
+SIN_DEGREE = 9
 
 
 def fast_sin(x):
     """Polynomial sin: libm-grade sin costs ~29 VPU cycles/element and is
     the single largest cost of the SIREN renderer (2.3 of 3.3 ms/frame,
     measured by ablation); range-reduce + degree-9 odd minimax is ~3x
-    cheaper at 8e-6 absolute error — far below the bf16 activation noise."""
+    cheaper at 8e-6 absolute error — far below the bf16 activation noise.
+    SIN_DEGREE=7 drops one Horner FMA at 2.5e-4 max error."""
     k = jnp.round(x * _INV_2PI)
     r = x - k * _2PI
     r2 = r * r
+    if SIN_DEGREE == 7:
+        c = _SIN_C7
+        return r * (c[0] + r2 * (c[1] + r2 * (c[2] + r2 * c[3])))
     c = _SIN_C
     return r * (c[0] + r2 * (c[1] + r2 * (c[2] + r2 * (c[3] + r2 * c[4]))))
 

@@ -171,6 +171,28 @@ def test_prepare_images_multi_size_and_workers(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_prepare_images_explicit_crop(tmp_path):
+    """crop_size pins a fixed centered window before the resize (the
+    reference crop_data.py tool, crop_data.py:23-46): cropping to the full
+    width x 32 of a 48x64 source must differ from the default max-square
+    crop, and equal a hand-cropped-then-resized PIL pipeline."""
+    from PIL import Image
+    from cips3dpp_tpu.io.dataset import prepare_images
+
+    src = _write_src_images(tmp_path, n=1, size=48)  # sources are 48w x 64h
+    out_sq = prepare_images(src, str(tmp_path / "sq"), sizes=(16,))
+    out_cr = prepare_images(
+        src, str(tmp_path / "cr"), sizes=(16,), crop_size=(48, 32)
+    )
+    a = np.load(os.path.join(out_sq, "images-16-0000.npy"))[0]
+    b = np.load(os.path.join(out_cr, "images-16-0000.npy"))[0]
+    assert not np.array_equal(a, b)
+
+    img = Image.open(os.path.join(src, "img_0.png")).convert("RGB")
+    ref = img.crop((0, 16, 48, 48)).resize((16, 16), Image.LANCZOS)
+    np.testing.assert_array_equal(b, np.asarray(ref))
+
+
 def test_prepare_images_lmdb_roundtrip(tmp_path):
     """Reference-format multi-size LMDB write -> read back through
     LMDBDataset (keys f'{size}-{idx:05d}', b'length')."""

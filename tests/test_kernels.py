@@ -60,6 +60,26 @@ def setup():
     return params, styles, pts, viewdirs, z_vals, rays_d, near, far
 
 
+def test_fast_sin_minimax_degrees():
+    """Range-reduced polynomial sin at both degrees: 9 (default, 8e-6) and
+    the SIN_DEGREE=7 serving option (2.5e-4 — still an order below bf16
+    activation noise). Domain covers SIREN phases (gamma ~ 30)."""
+    import cips3dpp_tpu.kernels.siren_render as sr
+
+    x = jnp.linspace(-40.0, 40.0, 200_001)
+    ref = np.sin(np.asarray(x, np.float64))
+    assert sr.SIN_DEGREE == 9
+    err9 = np.abs(np.asarray(sr.fast_sin(x), np.float64) - ref).max()
+    assert err9 < 2e-5
+    try:
+        sr.SIN_DEGREE = 7
+        err7 = np.abs(np.asarray(sr.fast_sin(x), np.float64) - ref).max()
+    finally:
+        sr.SIN_DEGREE = 9
+    assert err7 < 3.5e-4
+    assert err7 > err9  # distinct code paths actually taken
+
+
 def test_fused_matches_reference_interpret(setup):
     params, styles, pts, viewdirs, z_vals, rays_d, near, far = setup
     ref = siren_render_reference(
