@@ -761,6 +761,11 @@ def cmd_train(argv):
     p.add_argument("--finetune-dir", type=str, default=None,
                    help="checkpoint dir to initialise G/G_ema/Ds from "
                         "(reference tl_finetune, train_v10.py:1225-1245)")
+    p.add_argument("--init-renderer-from", type=str, default=None,
+                   help="stage-1 (enable_decoder=False) checkpoint dir: "
+                        "graft its trained volume renderer + mapping into "
+                        "the fresh full pipeline (the StyleSDF "
+                        "train_full_pipeline.py:484 handoff)")
     p.add_argument("--fid-data", type=str, default=None,
                    help="real-image dir for in-training FID")
     p.add_argument("--inception", type=str, default=None)

@@ -86,8 +86,30 @@ def run_training(args, cfg):
         )
         print(f"[train] finetuning from {args.finetune_dir}", file=sys.stderr)
 
+    if getattr(args, "init_renderer_from", None) and start == 0:
+        # StyleSDF stage-1 -> stage-2 handoff (train_full_pipeline.py:484):
+        # the trained volume renderer (G_ema side) seeds both G and G_ema;
+        # decoder/Ds/optimizers stay freshly initialised.
+        from ..io.checkpoint import CheckpointManager, graft_renderer
+
+        src = CheckpointManager(args.init_renderer_from)
+        raw = src.restore_raw()
+        if raw is None:
+            raise FileNotFoundError(
+                f"no checkpoint found in {args.init_renderer_from}"
+            )
+        state = state.replace(
+            params_g=graft_renderer(state.params_g, raw["params_g_ema"]),
+            params_g_ema=graft_renderer(
+                state.params_g_ema, raw["params_g_ema"]
+            ),
+        )
+        print(f"[train] renderer grafted from {args.init_renderer_from}",
+              file=sys.stderr)
+
     if tcfg.init_renderer and start == 0 and not args.no_sphere_init \
-            and not getattr(args, "finetune_dir", None):
+            and not getattr(args, "finetune_dir", None) \
+            and not getattr(args, "init_renderer_from", None):
         state = trainer.sphere_init(state, jax.random.PRNGKey(args.seed + 1))
 
     ds = open_dataset(args.data, resolution=tcfg.data_img_size)

@@ -46,6 +46,15 @@ class CheckpointManager:
             return None
         return self._mngr.restore(step, args=ocp.args.StandardRestore(state_template))
 
+    def restore_raw(self, step: int | None = None):
+        """Restore without a template (plain nested dict of arrays) — for
+        loading checkpoints whose tree differs from the current model, e.g.
+        a stage-1 renderer-only run consumed by graft_renderer."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mngr.restore(step, args=ocp.args.StandardRestore())
+
     def latest_step(self):
         return self._mngr.latest_step()
 
@@ -54,6 +63,47 @@ class CheckpointManager:
 
     def close(self):
         self._mngr.close()
+
+
+def graft_renderer(dst_vars, src_vars):
+    """Stage-1 -> stage-2 StyleSDF handoff (train_full_pipeline.py:484 +
+    train_volume_renderer.py:494-511): copy the trained volume renderer and
+    its mapping layers (`renderer`, `style_{i}`) from a stage-1
+    (enable_decoder=False) checkpoint into a freshly initialised
+    full-pipeline tree; the decoder and its mapping (`decoder`,
+    `style_decoder_{i}`) keep their fresh init. Shape mismatches fail
+    loudly — a silent partial graft would train from garbage."""
+    import jax.numpy as jnp
+
+    src, dst = src_vars["params"], dict(dst_vars["params"])
+    if "renderer" not in src:
+        raise ValueError(
+            "source checkpoint has no 'renderer' subtree — not a generator "
+            f"checkpoint? keys: {sorted(src)}"
+        )
+    grafted = []
+    for k in src:
+        is_render_mapping = k.startswith("style_") and not k.startswith(
+            "style_decoder"
+        )
+        if k != "renderer" and not is_render_mapping:
+            continue
+        if k not in dst:
+            raise ValueError(f"target tree is missing subtree '{k}'")
+        src_shapes = jax.tree.map(jnp.shape, src[k])
+        dst_shapes = jax.tree.map(jnp.shape, dst[k])
+        if src_shapes != dst_shapes:
+            raise ValueError(
+                f"subtree '{k}' shape mismatch between stage-1 checkpoint "
+                f"and target model: {src_shapes} vs {dst_shapes}"
+            )
+        # copy=True: grafting the same source into params_g AND params_g_ema
+        # must not alias buffers (donated train steps reject duplicates)
+        dst[k] = jax.tree.map(lambda x: jnp.array(x, copy=True), src[k])
+        grafted.append(k)
+    out = dict(dst_vars)
+    out["params"] = dst
+    return out
 
 
 def save_best(directory: str, state, tag: str = "best_fid"):

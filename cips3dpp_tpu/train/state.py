@@ -121,7 +121,12 @@ def make_g_optimizer(cfg: TrainConfig, params):
 
 
 def make_d_optimizer(cfg: TrainConfig):
-    r = cfg.d_reg_every / (cfg.d_reg_every + 1)
+    # lazy-R1 lr ratio (train_v10.py d_reg_ratio); d_reg_every <= 0 disables
+    # lazy regularisation entirely, so no ratio correction applies
+    if cfg.d_reg_every <= 0:
+        r = 1.0
+    else:
+        r = cfg.d_reg_every / (cfg.d_reg_every + 1)
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.adam(cfg.d_lr_decoder * r, b1=0.0, b2=0.99**r),

@@ -181,7 +181,9 @@ class Trainer:
             real = next(batches)
 
             key, kd, kg, kp = jax.random.split(key, 4)
-            d_regularize = (idx + 1) % cfg.d_reg_every == 0
+            d_regularize = (
+                cfg.d_reg_every > 0 and (idx + 1) % cfg.d_reg_every == 0
+            )
             state, dm = d_step(state, real, kd, alpha, d_regularize=d_regularize)
             state, gm = g_step(state, kg, alpha, renderer_detach=renderer_detach)
 

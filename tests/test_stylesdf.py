@@ -79,6 +79,68 @@ def test_stage1_training_skips_decoder_d():
     assert np.isfinite(float(gm["g_loss_eikonal_render"]))
 
 
+def test_stage1_to_stage2_renderer_graft(tmp_path):
+    """The StyleSDF two-stage handoff (train_full_pipeline.py:484 loading
+    the stage-1 volume-renderer checkpoint): a stage-1 (enable_decoder=False)
+    checkpoint round-trips through orbax and grafts its renderer + render
+    mapping into a fresh full-pipeline tree; decoder subtrees stay fresh,
+    and the grafted model runs forward."""
+    from cips3dpp_tpu.io.checkpoint import CheckpointManager, graft_renderer
+
+    cfg1 = dataclasses.replace(
+        tiny_config(img_size=8, upsample_list=(), n_samples=4),
+        enable_decoder=False,
+    )
+    cfg2 = dataclasses.replace(
+        tiny_config(img_size=8, upsample_list=(16,), n_samples=4)
+    )
+    cam = sample_cameras(jax.random.PRNGKey(1), 2, 8)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+
+    def init(cfg, seed):
+        k = jax.random.PRNGKey(seed)
+        return Generator(cfg).init(
+            {"params": k, "perturb": k, "noise": k}, zs=zs,
+            cam_poses=cam.extrinsics, focals=cam.focal,
+            near=cam.near, far=cam.far,
+        )
+
+    p1, p2 = init(cfg1, 7), init(cfg2, 8)
+
+    # round-trip stage-1 params through a real checkpoint dir, template-free
+    mngr = CheckpointManager(str(tmp_path / "stage1"))
+    mngr.save(0, {"params_g_ema": p1})
+    raw = mngr.restore_raw()
+    mngr.close()
+
+    grafted = graft_renderer(p2, raw["params_g_ema"])
+    # renderer + render-mapping leaves == stage 1; decoder side untouched
+    for k in grafted["params"]:
+        src = (
+            raw["params_g_ema"]["params"]
+            if (k == "renderer"
+                or (k.startswith("style_")
+                    and not k.startswith("style_decoder")))
+            else p2["params"]
+        )
+        same = jax.tree.map(
+            lambda a, b: np.array_equal(np.asarray(a), np.asarray(b)),
+            grafted["params"][k], src[k],
+        )
+        assert all(jax.tree.leaves(same)), k
+
+    out = Generator(cfg2).apply(
+        grafted, zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+        near=cam.near, far=cam.far, perturb=False,
+        rngs={"noise": jax.random.PRNGKey(2)},
+    )
+    assert np.isfinite(np.asarray(out["rgb"])).all()
+
+    # a non-generator checkpoint fails loudly
+    with pytest.raises(ValueError):
+        graft_renderer(p2, {"params": {"not_a_renderer": {}}})
+
+
 @pytest.mark.slow
 def test_freeze_renderer_stage2():
     """Stage 2: frozen renderer — no gradient reaches renderer params."""

@@ -82,6 +82,7 @@ VARIANTS = [
     ("frames2", None, None),
     ("frames4", None, None),
     ("frames8", None, None),
+    ("sin7", None, None),  # fold_rgb graph traced with SIN_DEGREE=7
 ]
 _sel = os.environ.get("AB_VARIANTS")
 if _sel:
@@ -95,6 +96,15 @@ for name, fd, kw in VARIANTS:
         tr = make_traj_prep_split()
     elif name == "fold_rgb":
         tr = make_traj_prep_split(fold_rgb=True)
+    elif name == "sin7":
+        import cips3dpp_tpu.kernels.siren_render as _sr
+
+        _sr.SIN_DEGREE = 7
+        try:
+            tr = make_traj_prep_split(fold_rgb=True)
+            float(tr(yaw))  # force trace while the flag is set
+        finally:
+            _sr.SIN_DEGREE = 9
     elif name.startswith("frames"):
         tr = make_traj_prep_split(fold_rgb=True,
                                   frames_per_step=int(name[len("frames"):]))
