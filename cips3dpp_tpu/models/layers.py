@@ -162,15 +162,17 @@ class EqualConv2d(nn.Module):
                 _blur_kernel_np_outer(tuple(blur_kernel)), np.float32
             )  # (4,4) normalized
             # full 2-D convolution of the spatial taps: K[m,n] =
-            # sum_{u,v} B[u,v] W[m-u, n-v] -> (k+3, k+3)
-            wk = jnp.zeros(
-                (k + kb.shape[0] - 1, k + kb.shape[1] - 1, cin,
-                 self.out_channel),
-                jnp.float32,
+            # sum_{u,v} B[u,v] W[m-u, n-v] -> (k+3, k+3). Built as 16
+            # pad-and-adds, NOT .at[].add scatters: XLA:CPU's scatter
+            # handling made the g_step compile of this graph explode
+            # (>9 min / 14 GB vs 37 s), and pads lower cleanly on TPU too.
+            bu, bv = kb.shape
+            wk = sum(
+                kb[u, v]
+                * jnp.pad(w, ((u, bu - 1 - u), (v, bv - 1 - v), (0, 0), (0, 0)))
+                for u in range(bu)
+                for v in range(bv)
             )
-            for u in range(kb.shape[0]):
-                for v in range(kb.shape[1]):
-                    wk = wk.at[u : u + k, v : v + k].add(kb[u, v] * w)
             out = jax.lax.conv_general_dilated(
                 x,
                 (wk * scale).astype(x.dtype),
@@ -224,7 +226,24 @@ class Blur(nn.Module):
 # layout copies XLA inserts around the pair (~1/3 of d_step was `copy`).
 # Derived from the same stored weights, so checkpoint parity is preserved
 # up to bf16/fp32 rounding of the composed kernel.
-FUSE_DOWN_CONV = True
+#
+# Default None = auto: fuse only when tracing for TPU. XLA:CPU's backward
+# pass for the composed dense (k+3)x(k+3) stride-2 convs is pathological at
+# compile time (g_step: >9 min / 14 GB vs 37 s unfused, measured on the
+# 8-device CPU dryrun host), while the unfused Blur->conv pair is exactly
+# equal in arithmetic — so CPU tests/dryruns keep the proven-fast graph.
+# Set True/False to force either form (the A/B harness does).
+FUSE_DOWN_CONV = None
+
+
+def _fuse_down_conv_enabled() -> bool:
+    if FUSE_DOWN_CONV is None:
+        import jax
+
+        # device platform, not backend name: the remote-TPU plugin backend
+        # is named differently but its devices report platform "tpu"
+        return jax.devices()[0].platform == "tpu"
+    return bool(FUSE_DOWN_CONV)
 
 
 class ConvLayer(nn.Module):
@@ -245,7 +264,7 @@ class ConvLayer(nn.Module):
             p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
             pad0 = (p + 1) // 2
             pad1 = p // 2
-            if FUSE_DOWN_CONV and len(self.blur_kernel) == 4:
+            if _fuse_down_conv_enabled() and len(self.blur_kernel) == 4:
                 # blur composed into the conv kernel; EqualConv2d keeps the
                 # exact same param path/shape, so checkpoints are unaffected
                 blur_down = (tuple(self.blur_kernel), pad0, pad1)
