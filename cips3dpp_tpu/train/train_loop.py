@@ -168,6 +168,7 @@ class Trainer:
                 now - t0
             )
             self.logger.log_jsonl(p_idx, metrics)
+            self.logger.log(p_idx, metrics)  # per-metric txt (tl2 textlogger)
             if hooks.on_metrics:
                 hooks.on_metrics(p_idx, metrics)
 
@@ -215,6 +216,8 @@ class Trainer:
                     save_best(os.path.join(self.outdir, "ckpt"), state)
                 if hooks.on_checkpoint:
                     hooks.on_checkpoint(idx, state)
+                # loss-curve PNGs next to the logs (tl2's figure dumps)
+                self.logger.save_figures()
 
         if pending is not None:
             emit(pending, time.time())

@@ -41,3 +41,43 @@ class MetricLogger:
         rec.update({k: float(v) for k, v in metrics.items()})
         with open(os.path.join(self.outdir, f"{name}.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+    def save_figures(self, outdir: str | None = None):
+        """Loss-curve PNG per metric group (tl2 textlogger's
+        summary_dict2txtfig figure dumps, SURVEY.md §5): one curve from each
+        `{name}.txt` written so far. Matplotlib is optional — silently a
+        no-op without it (zero-egress envs may strip it)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return []
+        self.flush()
+        outdir = os.path.abspath(outdir or self.outdir)
+        os.makedirs(outdir, exist_ok=True)
+        written = []
+        for fn in sorted(os.listdir(self.outdir)):
+            if not fn.endswith(".txt"):
+                continue
+            rows = []
+            with open(os.path.join(self.outdir, fn)) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) == 2:
+                        rows.append((int(parts[0]), float(parts[1])))
+            if not rows:
+                continue
+            steps, vals = zip(*rows)
+            fig, ax = plt.subplots(figsize=(6, 3.2), dpi=110)
+            ax.plot(steps, vals, lw=1.0)
+            ax.set_xlabel("step")
+            ax.set_title(fn[:-4])
+            ax.grid(True, alpha=0.3)
+            fig.tight_layout()
+            path = os.path.join(outdir, fn[:-4] + ".png")
+            fig.savefig(path)
+            plt.close(fig)
+            written.append(path)
+        return written

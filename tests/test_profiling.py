@@ -58,3 +58,24 @@ def test_trace_context(tmp_path):
         if files:
             found = True
     assert found
+
+
+def test_metric_logger_txt_jsonl_and_figures(tmp_path):
+    """tl2 textlogger parity (SURVEY.md §5): per-metric txt files, jsonl
+    stream, and loss-curve PNG dumps from the accumulated txt."""
+    from cips3dpp_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path), flush_every=2)
+    for i in range(4):
+        lg.log(i, {"d_loss": 1.0 / (i + 1), "g_loss": float(i)})
+        lg.log_jsonl(i, {"d_loss": 1.0 / (i + 1)})
+    lg.flush()
+    txt = (tmp_path / "d_loss.txt").read_text().strip().splitlines()
+    assert len(txt) == 4 and txt[0].split()[0] == "0"
+    assert (tmp_path / "metrics.jsonl").exists()
+    pngs = lg.save_figures()
+    assert sorted(os.path.basename(p) for p in pngs) == [
+        "d_loss.png", "g_loss.png",
+    ]
+    for p in pngs:
+        assert os.path.getsize(p) > 1000  # a real rendered figure
