@@ -12,16 +12,90 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
 
 BASELINE_FPS = 46.93
 
 
+def _fail_json(reason: str):
+    """Emit ONE parsable JSON line instead of a traceback, and exit 0 so the
+    driver records a diagnostic artifact rather than an opaque rc=1
+    (BENCH_r03 lesson: a transient axon-tunnel outage must not erase the
+    round's number of record)."""
+    print(
+        json.dumps(
+            {
+                "metric": "r1024_multiview_render_throughput",
+                "value": 0.0,
+                "unit": "fps",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        )
+    )
+    sys.exit(0)
+
+
+def _probe_backend_ready(budget_s: float = 900.0) -> bool:
+    """Probe the (possibly tunneled) TPU backend in a SUBPROCESS with a
+    bounded sleep-retry loop. The axon tunnel's known failure mode is a
+    silent multi-minute hang inside backend init followed by UNAVAILABLE;
+    it recovers on its own, so retrying is the right move — but only a
+    subprocess probe can be timed out (backend init is not interruptible
+    in-process)."""
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=min(180, max(30, deadline - time.monotonic())),
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        sleep = min(30.0 * attempt, 120.0, remaining)
+        print(
+            f"[bench] backend probe attempt {attempt} failed; "
+            f"retrying in {sleep:.0f}s ({remaining:.0f}s budget left)",
+            file=sys.stderr,
+        )
+        time.sleep(sleep)
+
+
 def main():
+    if not _probe_backend_ready():
+        _fail_json("tpu_unavailable")
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        _run(jax, jnp)
+    except Exception as e:  # noqa: BLE001 — diagnose, retry once, or report
+        msg = f"{type(e).__name__}: {e}"
+        transient = "UNAVAILABLE" in msg or "DEADLINE_EXCEEDED" in msg
+        if transient and os.environ.get("CIPS3DPP_BENCH_RETRIED") != "1":
+            # the backend died mid-run (tunnel blip); a fresh process gets a
+            # fresh backend — re-exec exactly once
+            print(f"[bench] transient backend error, re-exec: {msg}",
+                  file=sys.stderr)
+            env = dict(os.environ, CIPS3DPP_BENCH_RETRIED="1")
+            r = subprocess.run([sys.executable] + sys.argv, env=env)
+            sys.exit(r.returncode)
+        _fail_json("tpu_unavailable" if transient else msg[:300])
+
+
+def _run(jax, jnp):
     from cips3dpp_tpu.core import camera_from_angles
     from cips3dpp_tpu.models.generator import (
         Generator,

@@ -805,15 +805,24 @@ def cmd_prepare_data(argv):
     p.add_argument("--crop-size", type=int, nargs="*", default=None,
                    help="explicit centered crop W [H] before resizing "
                         "(the crop_data.py tool); default = max square")
+    p.add_argument("--codec", choices=["png", "jpeg"], default="png",
+                   help="lmdb image codec; png = lossless, byte-compatible "
+                        "with the reference (prepare_data.py:44)")
+    p.add_argument("--quality", type=int, default=100,
+                   help="jpeg quality (only with --codec jpeg)")
     args = p.parse_args(argv)
     from ..io.dataset import prepare_images, prepare_images_lmdb
 
     crop = args.crop_size
     if crop is not None:
         crop = tuple(crop) if len(crop) == 2 else int(crop[0])
-    fn = prepare_images_lmdb if args.format == "lmdb" else prepare_images
-    out = fn(args.src, args.outdir, sizes=args.sizes,
-             n_workers=args.n_workers, crop_size=crop)
+    if args.format == "lmdb":
+        out = prepare_images_lmdb(args.src, args.outdir, sizes=args.sizes,
+                                  n_workers=args.n_workers, crop_size=crop,
+                                  codec=args.codec, quality=args.quality)
+    else:
+        out = prepare_images(args.src, args.outdir, sizes=args.sizes,
+                             n_workers=args.n_workers, crop_size=crop)
     print(json.dumps({"outdir": out, "format": args.format}))
 
 

@@ -263,6 +263,10 @@ def render_trajectory(
     Returns dict of stacked host arrays: rgb (N,H,W,3) in [-1,1], thumb,
     depth, xyz."""
     style_render, style_decoder = get_styles(model, params, zs, truncation, mean_latents)
+    if zero_noise and noise_seed is not None:
+        # honor zero_noise rather than silently ignoring it in the
+        # hash-noise path: zero buffers override the seed
+        noise_seed = None
     if noise_bufs is None and noise_seed is None:
         bound = model.bind(params)
         noise_bufs = bound.decoder.make_noise(

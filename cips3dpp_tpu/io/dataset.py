@@ -252,31 +252,40 @@ def prepare_images_lmdb(
     quality: int = 100,
     map_size: int = 1 << 40,
     crop_size=None,
+    codec: str = "png",
 ):
-    """Multi-size LMDB builder matching the reference's tool exactly
-    (prepare_data.py:23-80): keys f"{size}-{idx:05d}" hold JPEG bytes, plus a
-    b"length" count — byte-compatible with both the reference's
-    MultiResolutionDataset (dataset.py:46-49) and LMDBDataset above."""
+    """Multi-size LMDB builder byte-compatible with the reference's tool
+    (exp/stylesdf/scripts/prepare_data.py:23-80): keys f"{size}-{idx:05d}"
+    hold losslessly-encoded PNG bytes (prepare_data.py:44), plus a b"length"
+    count written AFTER the image loop so a partial build is detectable.
+    Readable by both the reference's MultiResolutionDataset (dataset.py:46-49)
+    and LMDBDataset above. ``codec="jpeg"`` (with ``quality``) is an opt-in
+    lossy alternative — NOT reference-compatible pixel-wise."""
     import lmdb  # optional dep; gate at use
     from PIL import Image
 
     files = _list_images(src_dir)
     env = lmdb.open(out_dir, map_size=map_size, readahead=False)
+    save_kw = {"format": codec}
+    if codec.lower() in ("jpeg", "jpg"):
+        save_kw["quality"] = quality
     try:
-        with env.begin(write=True) as txn:
-            txn.put(b"length", str(len(files)).encode("utf-8"))
+        count = 0
         for idx, per_size in enumerate(
             _resized_stream(files, sizes, n_workers, crop_size)
         ):
             with env.begin(write=True) as txn:
                 for size, arr in per_size.items():
                     buf = io.BytesIO()
-                    Image.fromarray(arr).save(
-                        buf, format="jpeg", quality=quality
-                    )
+                    Image.fromarray(arr).save(buf, **save_kw)
                     txn.put(
                         f"{size}-{idx:05d}".encode("utf-8"), buf.getvalue()
                     )
+            count = idx + 1
+        # length last: an interrupted build has no b"length" key and reads
+        # as incomplete rather than crashing LMDBDataset on a None get.
+        with env.begin(write=True) as txn:
+            txn.put(b"length", str(count).encode("utf-8"))
     finally:
         env.close()
     return out_dir

@@ -156,16 +156,19 @@ class Trainer:
         # Metrics stay on device until the NEXT log point: fetching them
         # immediately would block the host on the just-dispatched step and
         # drain the dispatch pipeline at sub-100ms step times.
-        pending = None  # (idx, alpha, device-metric dict)
+        pending = None  # (idx, alpha, device-metric dict, dispatch time)
 
-        def emit(p, now):
-            p_idx, p_alpha, dev = p
+        def emit(p):
+            p_idx, p_alpha, dev, p_time = p
             metrics = {
                 k: float(v) for k, v in jax.device_get(dev).items()
             }
             metrics["alpha"] = p_alpha
+            # rate as of when this log point was DISPATCHED, not when its
+            # metrics were fetched one interval later (which would
+            # systematically understate throughput)
             metrics["iters_per_sec"] = (p_idx + 1 - start_iter) / (
-                now - t0
+                p_time - t0
             )
             self.logger.log_jsonl(p_idx, metrics)
             self.logger.log(p_idx, metrics)  # per-metric txt (tl2 textlogger)
@@ -198,10 +201,9 @@ class Trainer:
             state = ema_update(state, decay)
 
             if (idx + 1) % self.log_every == 0 or idx == total - 1:
-                now = time.time()
                 if pending is not None:
-                    emit(pending, now)
-                pending = (idx, alpha, {**dm, **gm, **pm})
+                    emit(pending)
+                pending = (idx, alpha, {**dm, **gm, **pm}, time.time())
 
             if (idx + 1) % self.ckpt_every == 0:
                 fid = hooks.eval_fid(state) if hooks.eval_fid else None
@@ -220,7 +222,7 @@ class Trainer:
                 self.logger.save_figures()
 
         if pending is not None:
-            emit(pending, time.time())
+            emit(pending)
         self.logger.flush()
         return state
 
