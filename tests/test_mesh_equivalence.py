@@ -214,6 +214,134 @@ def test_ray_sharded_render_equivalence(equiv_setup):
     )
 
 
+@pytest.fixture(scope="module", params=["float32", "bfloat16"])
+def prod_equiv_setup(request):
+    """The RECORDED-BENCHMARK d_step configuration (BENCH_TRAIN_r03: bf16
+    Ds, chunked lazy R1, DiffAugment) — the exact variant the quick
+    equivalence fixture above leaves out. If a sharding bug hides anywhere,
+    it's in the chunked-R1 scan / diffaug rng / bf16 interplay.
+
+    Parametrized over D compute dtype: the fp32 run proves the chunked-R1 /
+    diffaug sharding machinery at tight tolerance; the bf16 run (the
+    recorded config) documents the looser bound — minibatch-stddev couples
+    every example to the batch statistics, so bf16 rounding of those
+    statistics reaches all activations, not just the final loss reduction."""
+    gen_cfg = GeneratorConfig(
+        renderer=RendererConfig(n_layers=2, hidden_dim=32),
+        decoder=DecoderConfig(
+            size_end=32, upsample_list=(16,), style_dim=64, mapping_n_layers=2
+        ),
+        img_size=8,
+        n_samples=4,
+    )
+    train_cfg = TrainConfig(batch=8, d_r1_chunk=2, d_dtype=request.param)
+    gen = Generator(gen_cfg)
+    out_size = gen_cfg.out_size
+    d_dec = DStyleGANProgressive(
+        input_size=out_size, channel_multiplier=1, diffaug=True
+    )
+    d_ren = DVolumeRenderProgressive(input_size=gen_cfg.img_size)
+
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=gen_cfg.img_size)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    state, _ = create_train_state(
+        jax.random.PRNGKey(0),
+        gen_cfg,
+        train_cfg,
+        lambda k: d_dec.init(
+            {"params": k, "diffaug": k},
+            jnp.zeros((2, out_size, out_size, 3)),
+        ),
+        lambda k: d_ren.init(
+            k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3))
+        ),
+        lambda k: gen.init(
+            {"params": k, "perturb": k, "noise": k},
+            zs=zs,
+            cam_poses=cam.extrinsics,
+            focals=cam.focal,
+            near=cam.near,
+            far=cam.far,
+        ),
+    )
+    import optax
+
+    txs = (optax.sgd(1.0), optax.sgd(1.0), optax.sgd(1.0))
+    state = state.replace(
+        opt_g=txs[0].init(state.params_g),
+        opt_d=txs[1].init(state.params_d),
+        opt_d_render=txs[2].init(state.params_d_render),
+    )
+    steps_1 = make_train_steps(gen, d_dec, d_ren, gen_cfg, train_cfg, txs)
+    mesh = make_mesh(8)
+    steps_8 = make_train_steps(
+        gen, d_dec, d_ren, gen_cfg, train_cfg, txs, mesh=mesh
+    )
+    real = jax.random.normal(
+        jax.random.PRNGKey(2), (train_cfg.batch, out_size, out_size, 3)
+    )
+    # measured bf16 noise floor on this graph: params ~7.4e-3 (see fixture
+    # docstring for the mb-stddev mechanism); fp32 sits at the reduction
+    # floor like the plain fixture above
+    tols = (
+        {"metrics_rtol": 1e-4, "params": 1e-4}
+        if request.param == "float32"
+        else {"metrics_rtol": 2e-3, "params": 2e-2}
+    )
+    return state, steps_1, steps_8, mesh, real, train_cfg, (gen, d_dec, d_ren, gen_cfg, txs), tols
+
+
+@pytest.mark.slow
+def test_d_step_production_variant_mesh_equivalence(prod_equiv_setup):
+    """1-dev vs 8-dev for d_step with d_r1_chunk=2 + diffaug, fp32 AND bf16
+    (the recorded-benchmark configuration)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state, steps_1, steps_8, mesh, real, _, _, tols = prod_equiv_setup
+    s1, m1 = steps_1[0](state, real, jax.random.PRNGKey(3), 0.5, d_regularize=True)
+
+    state_m = shard_pytree(mesh, state)
+    real_m = jax.device_put(real, NamedSharding(mesh, P("data", None, None, None)))
+    s8, m8 = steps_8[0](state_m, real_m, jax.random.PRNGKey(3), 0.5, d_regularize=True)
+
+    assert "d_loss_gp_decoder" in m1  # the chunked-R1 scan actually ran
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=tols["metrics_rtol"], atol=1e-4,
+            err_msg=k,
+        )
+    assert _max_abs_diff(s1.params_d, s8.params_d) < tols["params"]
+    assert _max_abs_diff(s1.params_d_render, s8.params_d_render) < tols["params"]
+
+
+@pytest.mark.slow
+def test_g_step_2axis_mesh_equivalence(prod_equiv_setup):
+    """g_step on the 2-axis (data x ray) mesh == single device: the batch
+    shards over data=4 and the ray axis adds a second mesh dimension the
+    sharding constraints must stay compatible with. Run once, on the fp32
+    variant (tight tolerance; the bf16 delta is covered by the d_step
+    test)."""
+    state, steps_1, _, _, _, train_cfg, modules, tols = prod_equiv_setup
+    if train_cfg.d_dtype != "float32":
+        pytest.skip("2-axis layout correctness is proven on the fp32 variant")
+    gen, d_dec, d_ren, gen_cfg, txs = modules
+
+    mesh2 = make_mesh(8, ray=2)
+    assert mesh2.shape == {"data": 4, "ray": 2}
+    steps_2ax = make_train_steps(
+        gen, d_dec, d_ren, gen_cfg, train_cfg, txs, mesh=mesh2
+    )
+
+    s1, m1 = steps_1[1](state, jax.random.PRNGKey(4), 0.5)
+    s2, m2 = steps_2ax[1](shard_pytree(mesh2, state), jax.random.PRNGKey(4), 0.5)
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m2[k]), rtol=tols["metrics_rtol"], atol=1e-4,
+            err_msg=k,
+        )
+    assert _max_abs_diff(s1.params_g, s2.params_g) < tols["params"]
+
+
 def test_ema_update_mesh_equivalence(equiv_setup):
     state, _, _, mesh, _ = equiv_setup
     # perturb params so ema actually moves
