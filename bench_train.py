@@ -335,33 +335,82 @@ def main():
         )
         return
 
-    def one_iter(state, i):
-        state, _ = d_step(
-            state, real, rngs[next(ri)], alpha, (i % cfg.d_reg_every) == 0
+    def timed_run(cfg, d_step, g_step, path_step, state):
+        def one_iter(state, i):
+            state, _ = d_step(
+                state, real, rngs[next(ri)], alpha, (i % cfg.d_reg_every) == 0
+            )
+            state, _ = g_step(state, rngs[next(ri)], alpha)
+            if (i % cfg.g_reg_every) == 0:
+                state, _ = path_step(state, rngs[next(ri)])
+            return state
+
+        t0 = time.perf_counter()
+        state = one_iter(state, 0)  # compiles d_step_r1, g_step, path_step
+        state = one_iter(state, 1)  # compiles d_step (no r1)
+        float(state.mean_path_length)
+        print(
+            f"# compile+warmup {time.perf_counter() - t0:.0f}s",
+            file=sys.stderr,
+            flush=True,
         )
-        state, _ = g_step(state, rngs[next(ri)], alpha)
-        if (i % cfg.g_reg_every) == 0:
-            state, _ = path_step(state, rngs[next(ri)])
-        return state
 
-    t0 = time.perf_counter()
-    state = one_iter(state, 0)  # compiles d_step_r1, g_step, path_step
-    state = one_iter(state, 1)  # compiles d_step (no r1)
-    float(state.mean_path_length)
-    print(
-        f"# compile+warmup {time.perf_counter() - t0:.0f}s",
-        file=sys.stderr,
-        flush=True,
-    )
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state = one_iter(state, i)
+        # fetch a scalar that depends on the whole chain
+        chk = float(jax.tree.leaves(state.params_g)[0].sum()) + float(
+            state.mean_path_length
+        )
+        dt = (time.perf_counter() - t0) / args.iters
+        return dt, chk
 
-    t0 = time.perf_counter()
-    for i in range(args.iters):
-        state = one_iter(state, i)
-    # fetch a scalar that depends on the whole chain
-    chk = float(jax.tree.leaves(state.params_g)[0].sum()) + float(
-        state.mean_path_length
-    )
-    dt = (time.perf_counter() - t0) / args.iters
+    def fresh_state():
+        pg = fill_like(g_shapes, seed=1)
+        pd = fill_like(d_shapes, seed=2)
+        pdr = fill_like(dr_shapes, seed=3)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params_g=pg,
+            params_d=pd,
+            params_d_render=pdr,
+            params_g_ema=jax.tree.map(lambda x: x.copy(), pg),
+            opt_g=tx_g.init(pg),
+            opt_d=tx_d.init(pd),
+            opt_d_render=tx_dr.init(pdr),
+            mean_path_length=jnp.zeros(()),
+        )
+
+    def is_oom(e):
+        s = str(e)
+        return (
+            "RESOURCE_EXHAUSTED" in s
+            or "Ran out of memory" in s
+            or "Out of memory" in s
+        )
+
+    oom_fallback = False
+    try:
+        dt, chk = timed_run(cfg, d_step, g_step, path_step, state)
+    except Exception as e:  # noqa: BLE001 — OOM-specific fallback below
+        if not is_oom(e) or cfg.remat_d:
+            raise
+        # The recorded no-remat config runs at ~96% HBM (BENCH_TRAIN_r03);
+        # any growth — a batch bump, an XLA version change — tips it over.
+        # Fall back to remat_d=True so the bench still produces a number of
+        # record instead of dying rc=1. Donated buffers may be gone after a
+        # failed execution, so the state is rebuilt from scratch.
+        print(
+            "# OOM with remat_d=False — retrying with remat_d=True",
+            file=sys.stderr, flush=True,
+        )
+        oom_fallback = True
+        cfg = dataclasses.replace(cfg, remat_d=True)
+        d_step, g_step, path_step, _ = make_train_steps(
+            generator, d_decoder, d_render, gen_cfg, cfg,
+            (tx_g, tx_d, tx_dr), donate=not args.no_donate,
+        )
+        dt, chk = timed_run(cfg, d_step, g_step, path_step, fresh_state())
 
     mem = jax.local_devices()[0].memory_stats() or {}
     peak = mem.get("peak_bytes_in_use", 0) / 2**30
@@ -375,10 +424,13 @@ def main():
                 "img_per_s_chip": round(args.batch / dt, 3),
                 "d_dtype": args.d_dtype,
                 "dec_dtype": args.dec_dtype or gen_cfg.decoder.dtype,
-                "remat_d": args.remat_d,
+                "remat_d": cfg.remat_d,
+                "oom_fallback": oom_fallback,
                 "fused_renderer_d": not args.no_fused,
                 "peak_hbm_gb": round(peak, 2),
                 "checksum": round(chk, 4),
+                "provenance": "builder-captured, single-process timing on "
+                "the shared axon chip (docs/STATUS.md bench policy)",
             }
         ),
         flush=True,

@@ -380,6 +380,7 @@ def _packed_kernel(
     rgb_pack="pad",  # "rgbx": dense 128-lane RGBx groups; "pad": (rows, 3P)
     hash_noise=False,
     fold_noise=False,
+    fold_bias=False,  # with fold_noise: b1 rides a ones lane in the maps
     emit_y1=False,  # emit the NEXT block's conv_a matmul output in the
     # next block's packed layout (kills the feat->XLA conv->repack
     # relayout chain between fused blocks)
@@ -493,9 +494,20 @@ def _packed_kernel(
         # over nw0-scaled noise-expand rows (built host-side). Removes the
         # separate noise-expand matmul and two full-map VPU passes
         # (noise add + bias broadcast fuse into one post-matmul lrelu pass).
-        cat = lambda a, b_, n_: jnp.concatenate(
-            [a, b_, n_], axis=-1
-        ).reshape(2 * t * wb, 2 * l + p).astype(colup_dtype)
+        # fold_bias additionally rides b1 on a ones lane (K = 2L + P + 1),
+        # leaving lrelu as the only post-matmul pass.
+        k_extra = p + (1 if fold_bias else 0)
+
+        def cat(a, b_, n_):
+            parts = [a, b_, n_]
+            if fold_bias:
+                parts.append(jnp.ones((2 * t, wb, 1), jnp.float32))
+            return (
+                jnp.concatenate(parts, axis=-1)
+                .reshape(2 * t * wb, 2 * l + k_extra)
+                .astype(colup_dtype)
+            )
+
         a_e = cat(x_prev, x, n1e)
         a_o = cat(x, x_next, n1o)
         ev = jnp.dot(
@@ -509,7 +521,7 @@ def _packed_kernel(
         up = jnp.stack(
             [ev.reshape(2 * t, wb, l), od.reshape(2 * t, wb, l)], axis=2
         ).reshape(2 * t, 2 * wb, l)
-        h = lrelu(up + b1_ref[:])
+        h = lrelu(up) if fold_bias else lrelu(up + b1_ref[:])
     else:
         # column 2x upsample in lane space: the blends are (rows, L) @ (L, L)
         # MXU matmuls. colup_dtype=fp32 keeps the upsample path exact; bf16
@@ -651,9 +663,16 @@ def decoder_block_prepare(
             d["noise"] = (n1, n2)
     if fold_noise:
         nw0 = jnp.asarray(noise_w1, jnp.float32)
+        rows_e = [ep, ec, nw0 * en]
+        rows_o = [oc, on, nw0 * en]
+        if fold_noise == "bias":
+            # full fold (KERNEL_NOTES headroom #1): bias rides a ones lane,
+            # K = 2L + P + 1 — the post-matmul pass is lrelu alone
+            rows_e.append(d["b1t"])
+            rows_o.append(d["b1t"])
         d["maps"] = (
-            jnp.concatenate([ep, ec, nw0 * en], axis=0),
-            jnp.concatenate([oc, on, nw0 * en], axis=0),
+            jnp.concatenate(rows_e, axis=0),
+            jnp.concatenate(rows_o, axis=0),
             en,
         )
     else:
@@ -806,10 +825,13 @@ def decoder_block_packed(
         operands += list(prepared["noise"])
     if fold_noise:
         # extended maps carry the nw0-scaled noise-expand rows:
-        # even out = [x_prev | x | n1_even] @ M_e (+ bias after)
+        # even out = [x_prev | x | n1_even] @ M_e (+ bias after, unless the
+        # maps also carry a b1 row — fold_noise="bias")
         me, mo, en = prepared["maps"]
+        k_rows = me.shape[0]
+        fold_bias = k_rows == 2 * l + p + 1  # maps carry the b1 row
         in_specs += [
-            const(2 * l + p, l), const(2 * l + p, l),
+            const(k_rows, l), const(k_rows, l),
             const(p, l),
             const(l, l),
             const(1, l), const(1, l),
@@ -817,6 +839,7 @@ def decoder_block_packed(
         ]
         operands += [me, mo, en, prepared["w2p"], b1t, b2t, nw]
     else:
+        fold_bias = False
         ep, ec, oc, on, en = prepared["maps"]
         in_specs += [
             const(l, l), const(l, l), const(l, l), const(l, l),
@@ -885,7 +908,8 @@ def decoder_block_packed(
         emit_rgb=emit_rgb,
         rgb_pack=rgb_pack,
         hash_noise=hash_noise,
-        fold_noise=fold_noise,
+        fold_noise=bool(fold_noise),
+        fold_bias=fold_bias,
         emit_y1=emit_y1,
         y1_merge=y1_merge,
         tiles_per_frame=None if frames == 1 else tpf,

@@ -48,6 +48,8 @@ def prepare_trajectory(
     fold_rgb: bool = True,  # fold ToRGB into the decoder kernels (dense
     # RGBx lane store, measured faster on v5e); pass the same value to
     # render_frame
+    fold_noise=False,  # fold noise1 (True) or noise1+bias ("bias") into
+    # the column-upsample matmuls (A/B option; see kernels.decoder_block)
 ):
     """Trajectory-invariant prep pytree for `render_frame`."""
     cfg = model.cfg
@@ -84,6 +86,7 @@ def prepare_trajectory(
             noise_seed=None if noise_bufs is not None else noise_seed,
             feat_size=cfg.img_size,
             fold_rgb=fold_rgb,
+            fold_noise=fold_noise,
         ),
     }
 
@@ -97,6 +100,7 @@ def render_frame(
     img_size: int | None = None,
     interpret: bool = False,  # CPU/interpret kernels (tests)
     fold_rgb: bool = True,  # must match prepare_trajectory
+    fold_noise=False,  # must match prepare_trajectory
 ):
     """F frames from prepped state + camera angles, in one XLA program.
 
@@ -144,12 +148,14 @@ def render_frame(
         dtype=jnp.dtype(dec.dtype),
         interpret=interpret,
         fold_rgb=fold_rgb,
+        fold_noise=fold_noise,
     )
     return {"rgb": rgb, "thumb_rgb": thumb.reshape(b, h, w, 3)}
 
 
 def render_trajectory_scan(model, prep, yaws, elev=None, *, interpret=False,
-                           fold_rgb=True, frames_per_step: int = 1):
+                           fold_rgb=True, fold_noise=False,
+                           frames_per_step: int = 1):
     """Scan all frames in ONE XLA program (zero host dispatch between
     frames), returning a checksum-friendly stacked rgb mean per frame plus
     the last frame. Building block for benches; apps stack full frames
@@ -166,7 +172,8 @@ def render_trajectory_scan(model, prep, yaws, elev=None, *, interpret=False,
     def body(carry, ae):
         az, el = ae
         out = render_frame(model, prep, az.reshape(fps_), el.reshape(fps_),
-                           interpret=interpret, fold_rgb=fold_rgb)
+                           interpret=interpret, fold_rgb=fold_rgb,
+                           fold_noise=fold_noise)
         # per-frame means summed -> checksum comparable across
         # frames_per_step choices (parity checks in the A/B tools)
         rgb32 = out["rgb"].astype(jnp.float32)

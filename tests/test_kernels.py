@@ -517,6 +517,16 @@ def test_decoder_block_packed_fold_noise(c):
         np.asarray(base), np.asarray(fold), rtol=1e-3, atol=2e-4
     )
 
+    # full fold (KERNEL_NOTES headroom #1): b1 rides a ones lane in the
+    # maps (K = 2L+P+1); same accumulation-order tolerance
+    fold_b = decoder_block_packed(
+        y1, noise1, noise2, w2, b1, b2, 0.3, -0.2, t_rows=8, interpret=True,
+        fold_noise="bias",
+    )
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(fold_b), rtol=1e-3, atol=2e-4
+    )
+
     # hash-noise + fold: equals buffers built from the same hash realization
     seeds = jnp.stack([layer_seed(11, 0), layer_seed(11, 1)])
     n1h = hash_noise_map(2 * hp, 2 * wp, seeds[0])

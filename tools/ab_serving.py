@@ -54,7 +54,7 @@ def make_traj(fused_dec, noise_kw):
     return traj
 
 
-def make_traj_prep_split(fold_rgb=False, frames_per_step=1):
+def make_traj_prep_split(fold_rgb=False, frames_per_step=1, fold_noise=False):
     """serving.prepare_trajectory once + render_trajectory_scan: all
     style/weight/noise prep hoisted OUT of the scan body (vs relying on
     XLA loop-invariant code motion in the model.apply variants).
@@ -62,12 +62,13 @@ def make_traj_prep_split(fold_rgb=False, frames_per_step=1):
     from cips3dpp_tpu.serving import prepare_trajectory, render_trajectory_scan
 
     prep = prepare_trajectory(model, params, zs, noise_bufs=noise_bufs,
-                              fold_rgb=fold_rgb)
+                              fold_rgb=fold_rgb, fold_noise=fold_noise)
 
     @jax.jit
     def traj(yaw):
         return render_trajectory_scan(model, prep, yaw[:, 0],
                                       fold_rgb=fold_rgb,
+                                      fold_noise=fold_noise,
                                       frames_per_step=frames_per_step)
 
     return traj
@@ -83,6 +84,10 @@ VARIANTS = [
     ("frames4", None, None),
     ("frames8", None, None),
     ("sin7", None, None),  # fold_rgb graph traced with SIN_DEGREE=7
+    # KERNEL_NOTES headroom #1: full up+noise+bias fold into the colup
+    # matmuls (K = 2L+P+1). fold_noise-only (K = 2L+P) was the measured
+    # dead-end #6; this adds the bias lane on top.
+    ("fold_bias", None, None),
 ]
 _sel = os.environ.get("AB_VARIANTS")
 if _sel:
@@ -105,6 +110,8 @@ for name, fd, kw in VARIANTS:
             float(tr(yaw))  # force trace while the flag is set
         finally:
             _sr.SIN_DEGREE = 9
+    elif name == "fold_bias":
+        tr = make_traj_prep_split(fold_rgb=True, fold_noise="bias")
     elif name.startswith("frames"):
         tr = make_traj_prep_split(fold_rgb=True,
                                   frames_per_step=int(name[len("frames"):]))
