@@ -47,6 +47,7 @@ class Trainer:
         log_every: int = 10,
         ckpt_every: int = 500,
         config_snapshot: dict | None = None,
+        auto_remat: bool = False,
     ):
         self.generator = generator
         self.d_decoder = d_decoder
@@ -58,6 +59,7 @@ class Trainer:
         self.log_every = log_every
         self.ckpt_every = ckpt_every
         self.config_snapshot = config_snapshot
+        self.auto_remat = auto_remat
 
         os.makedirs(outdir, exist_ok=True)
         self.logger = MetricLogger(os.path.join(outdir, "logs"))
@@ -98,6 +100,41 @@ class Trainer:
             self.generator, self.d_decoder, self.d_render, c, self.cfg, txs,
             mesh=self.mesh, donate=True,
         )
+        if self.auto_remat and not self.cfg.remat_d:
+            # The fastest known flagship config runs d_step_r1 at ~96% HBM
+            # (BENCH_TRAIN_r03); probe XLA's AOT memory analysis against the
+            # device limit BEFORE training and fall back to remat_d=True
+            # when it won't fit — one compile up front instead of an OOM
+            # mid-run. No-op where the backend reports no memory limit.
+            limit = (
+                jax.local_devices()[0].memory_stats() or {}
+            ).get("bytes_limit")
+            if limit:
+                real = jnp.zeros(
+                    (self.cfg.batch,) + tuple(example_real_shape[1:]),
+                    jnp.float32,
+                )
+                ma = (
+                    self.steps[0]
+                    .lower(
+                        state, real, jax.random.PRNGKey(0), jnp.ones(()),
+                        d_regularize=True,
+                    )
+                    .compile()
+                    .memory_analysis()
+                )
+                peak = ma.temp_size_in_bytes + ma.argument_size_in_bytes
+                if peak > 0.97 * limit:
+                    self.logger.log_text(
+                        f"auto_remat: d_step_r1 peak {peak / 2**30:.2f} GiB "
+                        f"> 97% of {limit / 2**30:.2f} GiB — enabling "
+                        "remat_d"
+                    )
+                    self.cfg = dataclasses.replace(self.cfg, remat_d=True)
+                    self.steps = make_train_steps(
+                        self.generator, self.d_decoder, self.d_render, c,
+                        self.cfg, txs, mesh=self.mesh, donate=True,
+                    )
         return state
 
     def checkpointer(self):

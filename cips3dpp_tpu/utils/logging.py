@@ -36,6 +36,11 @@ class MetricLogger:
                     f.write(f"{step} {v}\n")
         self._buf.clear()
 
+    def log_text(self, message: str, name: str = "events"):
+        """Free-form event line (timestamped) appended to `{name}.log`."""
+        with open(os.path.join(self.outdir, f"{name}.log"), "a") as f:
+            f.write(f"[{time.time() - self._t0:10.1f}s] {message}\n")
+
     def log_jsonl(self, step: int, metrics: dict, name: str = "metrics"):
         rec = {"step": step, "time": time.time() - self._t0}
         rec.update({k: float(v) for k, v in metrics.items()})

@@ -206,3 +206,47 @@ def test_trainer_resume_bit_compatible(tmp_path):
             np.asarray(a), np.asarray(b), rtol=0, atol=1e-6,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+@pytest.mark.slow
+def test_trainer_auto_remat_guard(tmp_path, monkeypatch):
+    """auto_remat probes XLA's AOT memory analysis of d_step_r1 against the
+    device memory limit before training and enables remat_d when the peak
+    would not fit (the recorded flagship config runs at ~96% HBM —
+    BENCH_TRAIN_r03). Simulated here by faking a tiny bytes_limit."""
+    import cips3dpp_tpu.train.train_loop as tl
+
+    class _FakeDev:
+        def memory_stats(self):
+            return {"bytes_limit": 1024}  # anything compiled exceeds this
+
+    real_local_devices = jax.local_devices
+    monkeypatch.setattr(
+        tl.jax, "local_devices", lambda *a, **k: [_FakeDev()]
+    )
+    try:
+        gen_cfg, train_cfg = _tiny_cfgs()
+        assert not train_cfg.remat_d
+        gen = Generator(gen_cfg)
+        d_dec = DStyleGANProgressive(
+            input_size=gen_cfg.out_size, channel_multiplier=1
+        )
+        d_ren = DVolumeRenderProgressive(input_size=gen_cfg.img_size)
+        tr = Trainer(
+            gen, d_dec, d_ren, gen_cfg, train_cfg,
+            outdir=str(tmp_path / "auto_remat"), auto_remat=True,
+        )
+        state = tr.init_state(jax.random.PRNGKey(0), (4, 16, 16, 3))
+        assert tr.cfg.remat_d  # the guard flipped the config
+        # the rebuilt remat steps still run
+        real = jnp.zeros((4, 16, 16, 3))
+        state, m = tr.steps[0](
+            state, real, jax.random.PRNGKey(1), 1.0, d_regularize=True
+        )
+        assert np.isfinite(float(m["d_loss_total"]))
+        ev = open(
+            os.path.join(str(tmp_path / "auto_remat"), "logs", "events.log")
+        ).read()
+        assert "auto_remat" in ev
+    finally:
+        monkeypatch.setattr(tl.jax, "local_devices", real_local_devices)
