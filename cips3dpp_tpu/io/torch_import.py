@@ -287,3 +287,189 @@ def export_generator_state_dict(variables: dict) -> dict:
         i += 1
 
     return out
+
+
+# ===================================================================== Ds ==
+# Discriminator import/export. The reference trains and checkpoints both
+# discriminators next to G (train_v10.py:496-522); finetuning from a released
+# training checkpoint needs their state dicts mapped too. Same layout rules
+# as the generator mapping above; the progressive image D additionally owns
+# Blur FIR buffers (`.kernel`, rebuilt constants — never mapped) and its
+# final EqualLinear flattens a (C, 4, 4) activation CHANNEL-FIRST, so the
+# (out, C*16) weight needs an input-dim permutation against this framework's
+# channel-last flatten.
+#
+# torch module trees (reference):
+#   D_StyleGAN_Progressive  (discriminator.py:130-261)
+#     conv_in.{res}: ConvLayer[EqualConv2d, FusedLeakyReLU]      -> .0/.1
+#     blocks.{res}:  ResBlock(conv1=ConvLayer[conv, act],
+#                             conv2=ConvLayer[Blur, conv, act],
+#                             skip =ConvLayer[Blur, conv])
+#     final_conv: ConvLayer[conv, act]; final_linear: Sequential[EL, EL]
+#   D_VolumeRender_Progressive  (discriminator_pose.py:220-325)
+#     conv_in.{res}: VolumeRenderDiscConv2d(conv, activation)
+#     blocks.{res}:  VolumeRenderResBlock(conv1/conv2=CoordConvLayer(
+#                      conv=CoordConv2d(conv), activation), skip=...)
+#     final_conv: VolumeRenderDiscConv2d(conv with bias)
+
+
+def _inv_conv(w):
+    """flax (kh, kw, in, out) -> torch (out, in, kh, kw)."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def _d_stylegan_pairs(params):
+    """[(flax_path_tuple, torch_name, kind)] for DStyleGANProgressive.
+    kind: 'conv' | 'vec' | 'lin0' | 'lin'."""
+    pairs = []
+    for name in params:
+        if name.startswith("conv_in_"):
+            res = name[len("conv_in_"):]
+            pairs += [
+                ((name, "EqualConv2d_0", "weight"),
+                 f"conv_in.{res}.0.weight", "conv"),
+                ((name, "act_bias"), f"conv_in.{res}.1.bias", "vec"),
+            ]
+        elif name.startswith("block_"):
+            res = name[len("block_"):]
+            pairs += [
+                ((name, "conv1", "EqualConv2d_0", "weight"),
+                 f"blocks.{res}.conv1.0.weight", "conv"),
+                ((name, "conv1", "act_bias"),
+                 f"blocks.{res}.conv1.1.bias", "vec"),
+                ((name, "conv2", "EqualConv2d_0", "weight"),
+                 f"blocks.{res}.conv2.1.weight", "conv"),
+                ((name, "conv2", "act_bias"),
+                 f"blocks.{res}.conv2.2.bias", "vec"),
+                ((name, "skip", "EqualConv2d_0", "weight"),
+                 f"blocks.{res}.skip.1.weight", "conv"),
+            ]
+    pairs += [
+        (("final", "final_conv", "EqualConv2d_0", "weight"),
+         "final_conv.0.weight", "conv"),
+        (("final", "final_conv", "act_bias"), "final_conv.1.bias", "vec"),
+        (("final", "final_linear_0", "weight"),
+         "final_linear.0.weight", "lin0"),
+        (("final", "final_linear_0", "bias"), "final_linear.0.bias", "vec"),
+        (("final", "final_linear_1", "weight"),
+         "final_linear.1.weight", "lin"),
+        (("final", "final_linear_1", "bias"), "final_linear.1.bias", "vec"),
+    ]
+    return pairs
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def export_d_stylegan_state_dict(variables: dict) -> dict:
+    """flax DStyleGANProgressive -> reference D_StyleGAN_Progressive names.
+    Blur `.kernel` buffers are intentionally absent (rebuilt constants)."""
+    params = variables["params"]
+    out = {}
+    for path, tname, kind in _d_stylegan_pairs(params):
+        v = np.asarray(_get(params, path))
+        if kind == "conv":
+            out[tname] = _inv_conv(v)
+        elif kind == "lin0":
+            # flax flattens (4, 4, C) channel-last; torch (C, 4, 4)
+            hwc, o = v.shape
+            c = hwc // 16
+            w = v.reshape(4, 4, c, o).transpose(2, 0, 1, 3).reshape(16 * c, o)
+            out[tname] = np.ascontiguousarray(w.T)
+        elif kind == "lin":
+            out[tname] = np.ascontiguousarray(v.T)
+        else:
+            out[tname] = v
+    return out
+
+
+def import_d_stylegan_state_dict(
+    torch_sd: Mapping[str, np.ndarray], variables_template: dict
+) -> dict:
+    """Inverse of export_d_stylegan_state_dict; the flax tree supplies the
+    structure (input_size), the torch dict the values. The reference module
+    registers ALL resolutions 8..1024 regardless of input_size — extra
+    torch keys are ignored."""
+    import jax
+    import jax.numpy as jnp
+
+    params = variables_template["params"]
+    flat = dict(flax.traverse_util.flatten_dict(params))
+    for path, tname, kind in _d_stylegan_pairs(params):
+        v = np.asarray(torch_sd[tname])
+        if kind == "conv":
+            v = np.ascontiguousarray(np.transpose(v, (2, 3, 1, 0)))
+        elif kind == "lin0":
+            o, chw = v.shape
+            c = chw // 16
+            v = np.ascontiguousarray(
+                v.T.reshape(c, 4, 4, o).transpose(1, 2, 0, 3).reshape(16 * c, o)
+            )
+        elif kind == "lin":
+            v = np.ascontiguousarray(v.T)
+        want = flat[path].shape
+        assert tuple(v.shape) == tuple(want), (tname, v.shape, want)
+        flat[path] = jnp.asarray(v)
+    return {"params": flax.traverse_util.unflatten_dict(flat)}
+
+
+def _d_pose_pairs(params):
+    """[(flax_path, torch_name, kind)] for DVolumeRenderProgressive."""
+    pairs = []
+    for name in params:
+        if name.startswith("conv_in_"):
+            res = name[len("conv_in_"):]
+            pairs += [
+                ((name, "weight"), f"conv_in.{res}.conv.weight", "conv"),
+                ((name, "bias"), f"conv_in.{res}.activation.bias", "vec"),
+            ]
+        elif name.startswith("block_"):
+            res = name[len("block_"):]
+            for cv in ("conv1", "conv2"):
+                pairs += [
+                    ((name, cv, "conv", "weight"),
+                     f"blocks.{res}.{cv}.conv.conv.weight", "conv"),
+                    ((name, cv, "conv", "bias"),
+                     f"blocks.{res}.{cv}.activation.bias", "vec"),
+                ]
+            if "skip" in params[name]:
+                pairs += [
+                    ((name, "skip", "weight"),
+                     f"blocks.{res}.skip.conv.weight", "conv"),
+                    ((name, "skip", "bias"),
+                     f"blocks.{res}.skip.conv.bias", "vec"),
+                ]
+    pairs += [
+        (("final_conv", "weight"), "final_conv.conv.weight", "conv"),
+        (("final_conv", "bias"), "final_conv.conv.bias", "vec"),
+    ]
+    return pairs
+
+
+def export_d_pose_state_dict(variables: dict) -> dict:
+    params = variables["params"]
+    out = {}
+    for path, tname, kind in _d_pose_pairs(params):
+        v = np.asarray(_get(params, path))
+        out[tname] = _inv_conv(v) if kind == "conv" else v
+    return out
+
+
+def import_d_pose_state_dict(
+    torch_sd: Mapping[str, np.ndarray], variables_template: dict
+) -> dict:
+    import jax.numpy as jnp
+
+    params = variables_template["params"]
+    flat = dict(flax.traverse_util.flatten_dict(params))
+    for path, tname, kind in _d_pose_pairs(params):
+        v = np.asarray(torch_sd[tname])
+        if kind == "conv":
+            v = np.ascontiguousarray(np.transpose(v, (2, 3, 1, 0)))
+        want = flat[path].shape
+        assert tuple(v.shape) == tuple(want), (tname, v.shape, want)
+        flat[path] = jnp.asarray(v)
+    return {"params": flax.traverse_util.unflatten_dict(flat)}

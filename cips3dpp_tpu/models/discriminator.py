@@ -15,7 +15,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import ConvLayer, EqualLinear, channel_table
+from .layers import (
+    ConvLayer,
+    EqualLinear,
+    channel_table,
+    torch_bilinear_downsample,
+)
 from .diffaug import diff_augment
 
 SQRT2 = math.sqrt(2.0)
@@ -159,11 +164,9 @@ class DStyleGANProgressive(nn.Module):
 
         if log_pretrained < log_input_size and log_pretrained in conv_ins:
             factor = 2 ** (log_input_size - log_pretrained)
-            x_down = jax.image.resize(
-                x,
-                (x.shape[0], h // factor, h // factor, x.shape[-1]),
-                method="bilinear",
-            )
+            # torch-semantics (non-antialiased) bilinear, NOT
+            # jax.image.resize — see layers.torch_bilinear_downsample
+            x_down = torch_bilinear_downsample(x, h // factor)
             x_down = conv_ins[log_pretrained](x_down)
             out = (1.0 - alpha) * x_down + alpha * out
 

@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import ConvLayer, EqualLinear, channel_table
+from .layers import (
+    ConvLayer,
+    EqualLinear,
+    channel_table,
+    torch_bilinear_downsample,
+)
 from .discriminator import ResBlock, minibatch_stddev
 from .diffaug import diff_augment
 
@@ -61,9 +66,9 @@ class DiscriminatorMultiScale(nn.Module):
 
         # fade-in: blend with the half-res input branch (ref :516-524)
         if size // 2 in conv_ins:
-            down = jax.image.resize(
-                x, (x.shape[0], size // 2, size // 2, 3), method="bilinear"
-            )
+            # torch-semantics bilinear (= 2x2 average at factor 2), matching
+            # the reference's F.interpolate (discriminator_multi_scale.py:515)
+            down = torch_bilinear_downsample(x, size // 2)
             down_out = conv_ins[size // 2](down)
             out = alpha * out + (1.0 - alpha) * down_out
 

@@ -12,6 +12,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from .layers import torch_bilinear_downsample
 import flax.linen as nn
 
 from ..ops import fused_leaky_relu
@@ -178,11 +180,8 @@ class DVolumeRenderProgressive(nn.Module):
 
         if log_pretrained < log_input:
             factor = 2 ** (log_input - log_pretrained)
-            x_down = jax.image.resize(
-                x,
-                (x.shape[0], h // factor, h // factor, x.shape[-1]),
-                method="bilinear",
-            )
+            # torch-semantics (non-antialiased) bilinear downsample
+            x_down = torch_bilinear_downsample(x, h // factor)
             x_down = conv_ins[log_pretrained](x_down)
             out = (1.0 - alpha) * x_down + alpha * out
 

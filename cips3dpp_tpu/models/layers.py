@@ -483,3 +483,39 @@ def channel_table(channel_multiplier: int) -> dict:
         512: 32 * channel_multiplier,
         1024: 16 * channel_multiplier,
     }
+
+
+def torch_bilinear_downsample(x, out_size: int):
+    """torch `F.interpolate(mode='bilinear', align_corners=False)` for
+    integer downscale factors, NHWC.
+
+    The discriminators' progressive fade paths downsample the input image
+    with torch bilinear (discriminator.py:231-236, discriminator_pose.py:
+    303-308, discriminator_multi_scale.py:515) which is NOT antialiased:
+    each output pixel samples only the 2 nearest input pixels per axis
+    (at factor 2 that is exactly the 2x2 average). `jax.image.resize`
+    bilinear antialiases when downscaling (triangle kernel widened by the
+    scale), which diverges from the reference by ~0.2 in [-1,1] images —
+    caught by the reference-forward oracle harness."""
+    b, h, w, c = x.shape
+    assert h % out_size == 0 and w == h, (x.shape, out_size)
+    f = h // out_size
+    if f == 1:
+        return x
+
+    import numpy as np  # static index math at trace time
+
+    src = (np.arange(out_size) + 0.5) * f - 0.5
+    i0 = np.clip(np.floor(src).astype(np.int32), 0, h - 1)
+    i1 = np.minimum(i0 + 1, h - 1)
+    t = (src - np.floor(src)).astype(np.float32)
+
+    def gather(arr, axis):
+        a0 = jnp.take(arr, jnp.asarray(i0), axis=axis)
+        a1 = jnp.take(arr, jnp.asarray(i1), axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = out_size
+        tt = jnp.asarray(t).reshape(shape).astype(arr.dtype)
+        return a0 * (1 - tt) + a1 * tt
+
+    return gather(gather(x, 1), 2)

@@ -169,3 +169,12 @@ def build_reference_generator(cfg):
         ),
     )
     return gen.eval()
+
+
+def load_reference_discriminators():
+    """The reference's discriminator modules (same stub environment)."""
+    load_reference_model_v3()  # installs stubs + sys.path
+    import exp.cips3d.models.discriminator as ref_d
+    import exp.cips3d.models.discriminator_pose as ref_dp
+
+    return ref_d, ref_dp

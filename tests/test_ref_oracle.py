@@ -196,3 +196,123 @@ def test_truncation_matches_reference(matched_pair):
         np.asarray(got["rgb"], dtype=np.float32), rgb_ref, atol=5e-4,
         rtol=1e-4,
     )
+
+
+# ======================================================== discriminators ==
+
+
+def _chw_t(x):
+    return torch.from_numpy(np.transpose(np.asarray(x), (0, 3, 1, 2)).copy())
+
+
+def test_d_stylegan_matches_reference():
+    """Progressive image D vs the reference's own D_StyleGAN_Progressive:
+    per-res input convs, ResBlocks (blur->stride-2 conv path), mb-stddev,
+    channel-first final flatten, and the alpha<1 bilinear fade branch."""
+    from cips3dpp_tpu.models.discriminator import DStyleGANProgressive
+    from cips3dpp_tpu.io.torch_import import (
+        export_d_stylegan_state_dict,
+        import_d_stylegan_state_dict,
+    )
+    from ref_oracle import load_reference_discriminators
+
+    ref_d, _ = load_reference_discriminators()
+
+    d = DStyleGANProgressive(input_size=32, channel_multiplier=1)
+    p = d.init(jax.random.PRNGKey(0), jnp.zeros((4, 32, 32, 3)))
+    sd = export_d_stylegan_state_dict(p)
+
+    ref = ref_d.D_StyleGAN_Progressive(input_size=32, channel_multiplier=1)
+    ref.eval()
+    res = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    # allowed missing: FIR buffers + the reference's always-registered
+    # resolutions above our input_size (discriminator.py:172 hardcodes
+    # range(10, 2, -1))
+    for k in res.missing_keys:
+        top_res = int(k.split(".")[1]) if k.split(".")[1].isdigit() else 0
+        assert ".kernel" in k or top_res > 32, k
+    assert res.unexpected_keys == [], res.unexpected_keys
+
+    x = np.random.RandomState(3).uniform(-1, 1, (4, 32, 32, 3)).astype(
+        np.float32
+    )
+    for alpha in (1.0, 0.5):
+        with torch.no_grad():
+            want = ref(_chw_t(x), alpha=alpha).numpy()
+        with jax.default_matmul_precision("highest"):
+            got = np.asarray(d.apply(p, jnp.asarray(x), alpha=alpha))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4,
+                                   err_msg=f"alpha={alpha}")
+
+    # progressive: a half-res input goes through the smaller entry conv
+    x16 = x[:, ::2, ::2]
+    with torch.no_grad():
+        want = ref(_chw_t(x16), alpha=0.7).numpy()
+    with jax.default_matmul_precision("highest"):
+        got = np.asarray(d.apply(p, jnp.asarray(x16), alpha=0.7))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-4)
+
+    # round-trip import reproduces the flax tree exactly
+    imported = import_d_stylegan_state_dict(sd, p)
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(p),
+               key=lambda t: jax.tree_util.keystr(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(imported),
+               key=lambda t: jax.tree_util.keystr(t[0])),
+    ):
+        assert jax.tree_util.keystr(ka) == jax.tree_util.keystr(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_d_pose_matches_reference():
+    """Progressive pose D vs the reference's D_VolumeRender_Progressive:
+    CoordConv blocks, avg-pool downsampling, dual GAN+viewpoint head, and
+    the alpha fade."""
+    from cips3dpp_tpu.models.discriminator_pose import DVolumeRenderProgressive
+    from cips3dpp_tpu.io.torch_import import (
+        export_d_pose_state_dict,
+        import_d_pose_state_dict,
+    )
+    from ref_oracle import load_reference_discriminators
+
+    _, ref_dp = load_reference_discriminators()
+
+    d = DVolumeRenderProgressive(input_size=32, viewpoint_loss=True)
+    p = d.init(jax.random.PRNGKey(0), jnp.zeros((4, 32, 32, 3)))
+    sd = export_d_pose_state_dict(p)
+
+    ref = ref_dp.D_VolumeRender_Progressive(
+        input_size=32, viewpoint_loss=True
+    )
+    ref.eval()
+    res = ref.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    assert not res.missing_keys and not res.unexpected_keys
+
+    x = np.random.RandomState(5).uniform(-1, 1, (4, 32, 32, 3)).astype(
+        np.float32
+    )
+    for alpha in (1.0, 0.4):
+        with torch.no_grad():
+            want_g, want_v = ref(_chw_t(x), alpha=alpha)
+        with jax.default_matmul_precision("highest"):
+            got_g, got_v = d.apply(p, jnp.asarray(x), alpha=alpha)
+        np.testing.assert_allclose(
+            np.asarray(got_g), want_g.numpy(), rtol=1e-4, atol=2e-4,
+            err_msg=f"gan alpha={alpha}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_v), want_v.numpy(), rtol=1e-4, atol=2e-4,
+            err_msg=f"view alpha={alpha}",
+        )
+
+    imported = import_d_pose_state_dict(sd, p)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(imported)[0]),
+        np.asarray(jax.tree.leaves(p)[0]),
+    )
