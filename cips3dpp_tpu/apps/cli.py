@@ -840,30 +840,67 @@ def cmd_rendering_time(argv):
 
 
 def cmd_import_torch(argv):
-    p = _base_parser("convert a reference G_ema.pth to an orbax checkpoint")
+    p = _base_parser(
+        "convert a reference .pth (G_ema / D / D_renderer) to an orbax ckpt"
+    )
     p.add_argument("--pth", type=str, required=True)
+    p.add_argument(
+        "--model", choices=["g_ema", "d", "d_pose"], default="g_ema",
+        help="which reference model the state dict holds: g_ema (the "
+        "released inversion ckpts), d = D_StyleGAN_Progressive or d_pose = "
+        "D_VolumeRender_Progressive (training ckpts, for finetuning)",
+    )
     args = p.parse_args(argv)
     cfg = _load_cfg(args)
 
-    from ..io.torch_import import load_torch_checkpoint, import_generator_state_dict
+    from ..io.torch_import import load_torch_checkpoint
     import orbax.checkpoint as ocp
     import math
 
-    model, gcfg = _build_generator(cfg)
+    import jax
+    import jax.numpy as jnp
+
     sd = load_torch_checkpoint(args.pth)
-    n_blocks = int(math.log2(gcfg.decoder.size_end)) - int(
-        math.log2(gcfg.decoder.size_start)
-    )
-    params = import_generator_state_dict(
-        sd, n_renderer_layers=gcfg.renderer.n_layers, n_decoder_blocks=n_blocks,
-        n_mapping_layers=gcfg.mapping.n_layers,
-        n_decoder_mapping_layers=gcfg.decoder.mapping_n_layers,
-    )
+    _, gcfg = _build_generator(cfg)
+    if args.model == "g_ema":
+        from ..io.torch_import import import_generator_state_dict
+
+        n_blocks = int(math.log2(gcfg.decoder.size_end)) - int(
+            math.log2(gcfg.decoder.size_start)
+        )
+        params = import_generator_state_dict(
+            sd, n_renderer_layers=gcfg.renderer.n_layers,
+            n_decoder_blocks=n_blocks,
+            n_mapping_layers=gcfg.mapping.n_layers,
+            n_decoder_mapping_layers=gcfg.decoder.mapping_n_layers,
+        )
+    elif args.model == "d":
+        from ..io.torch_import import import_d_stylegan_state_dict
+        from ..models.discriminator import DStyleGANProgressive
+
+        d = DStyleGANProgressive(
+            input_size=gcfg.out_size,
+            channel_multiplier=gcfg.decoder.channel_multiplier,
+        )
+        template = d.init(
+            jax.random.PRNGKey(0), jnp.zeros((2, gcfg.out_size, gcfg.out_size, 3))
+        )
+        params = import_d_stylegan_state_dict(sd, template)
+    else:
+        from ..io.torch_import import import_d_pose_state_dict
+        from ..models.discriminator_pose import DVolumeRenderProgressive
+
+        d = DVolumeRenderProgressive(input_size=gcfg.img_size)
+        template = d.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((2, gcfg.img_size, gcfg.img_size, 3)),
+        )
+        params = import_d_pose_state_dict(sd, template)
     ckptr = ocp.StandardCheckpointer()
-    out = os.path.abspath(os.path.join(args.outdir, "g_ema"))
+    out = os.path.abspath(os.path.join(args.outdir, args.model))
     ckptr.save(out, params, force=True)
     ckptr.wait_until_finished()
-    print(json.dumps({"ckpt": out}))
+    print(json.dumps({"ckpt": out, "model": args.model}))
 
 
 COMMANDS = {

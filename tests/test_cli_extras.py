@@ -171,3 +171,65 @@ def test_cli_lerp_inversions(tmp_path, capsys):
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["frames"] == 4  # 2 pairs x 2 interp frames (cyclic)
     assert os.path.exists(res["video"])
+
+
+def test_cli_import_torch_discriminators(tmp_path, capsys):
+    """import-torch --model d / d_pose: reference-named D state dicts ->
+    orbax checkpoints (finetune-from-training-ckpt path)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from cips3dpp_tpu.models.discriminator import DStyleGANProgressive
+    from cips3dpp_tpu.models.discriminator_pose import DVolumeRenderProgressive
+    from cips3dpp_tpu.io.torch_import import (
+        export_d_stylegan_state_dict,
+        export_d_pose_state_dict,
+    )
+    from cips3dpp_tpu.apps.cli import main
+
+    # tiny config: out_size = 8 * 2^1 = 16, img_size 8
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text("imp: {G_cfg: {}}\n")
+    opts = [
+        "G_cfg.renderer.n_layers", "2",
+        "G_cfg.renderer.hidden_dim", "32",
+        "G_cfg.decoder.upsample_list", "[128]",
+        "G_cfg.decoder.style_dim", "64",
+        "G_cfg.decoder.mapping_n_layers", "2",
+        "G_cfg.decoder.channel_multiplier", "1",
+        "G_cfg.img_size", "8",
+        "G_cfg.n_samples", "4",
+    ]
+
+    d = DStyleGANProgressive(input_size=16, channel_multiplier=1)
+    pd = d.init(jax.random.PRNGKey(0), jnp.zeros((2, 16, 16, 3)))
+    torch.save(
+        {k: torch.from_numpy(v.copy())
+         for k, v in export_d_stylegan_state_dict(pd).items()},
+        tmp_path / "D.pth",
+    )
+    rc = main([
+        "import-torch", "--cfg", str(cfg), "--section", "imp",
+        "--opts", *opts, "--pth", str(tmp_path / "D.pth"),
+        "--model", "d", "--outdir", str(tmp_path / "out_d"),
+    ])
+    assert rc in (0, None)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["model"] == "d" and os.path.isdir(rec["ckpt"])
+
+    dr = DVolumeRenderProgressive(input_size=8)
+    pdr = dr.init(jax.random.PRNGKey(0), jnp.zeros((2, 8, 8, 3)))
+    torch.save(
+        {k: torch.from_numpy(v.copy())
+         for k, v in export_d_pose_state_dict(pdr).items()},
+        tmp_path / "D_renderer.pth",
+    )
+    rc = main([
+        "import-torch", "--cfg", str(cfg), "--section", "imp",
+        "--opts", *opts, "--pth", str(tmp_path / "D_renderer.pth"),
+        "--model", "d_pose", "--outdir", str(tmp_path / "out_dp"),
+    ])
+    assert rc in (0, None)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["model"] == "d_pose" and os.path.isdir(rec["ckpt"])
