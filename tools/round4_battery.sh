@@ -26,7 +26,11 @@ AB_VARIANTS=fused_bufs,fold_rgb,sin7,fold_bias run ab_serving python tools/ab_se
 #    image-D share)
 run ab_blur python tools/ab_blur.py
 
-# 4. train-step artifact with the OOM fallback live
+# 4. decoder-dtype A/B in the real g_step (g_step = 0.318 s of the 0.854
+#    record; bf16 decoder has never been A/B'd train-side)
+run ab_gstep_dec python tools/ab_gstep_dec.py
+
+# 5. train-step artifact with the OOM fallback live
 run bench_train python bench_train.py
 
 echo "battery done" | tee -a "$S"
