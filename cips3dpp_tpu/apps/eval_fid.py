@@ -78,12 +78,25 @@ def feature_stats(features):
 
 
 class InceptionExtractor:
-    def __init__(self, variables, batch_size: int = 32):
+    """fidelity_protocol=True (default) reproduces the reference pipeline
+    end-to-end: images are quantised to uint8 exactly as save_image_dir
+    writes them (the reference computes FID over saved image DIRS,
+    eval_fid.py:52-63), then fed through the torch-fidelity input path
+    (TF1 resize, (x-128)/128). False keeps raw [-1,1] floats."""
+
+    def __init__(self, variables, batch_size: int = 32,
+                 fidelity_protocol: bool = True):
         self.variables = variables
         self.batch_size = batch_size
-        self._fn = jax.jit(
-            lambda v, x: InceptionV3Features().apply(v, x)
-        )
+        if fidelity_protocol:
+            def fn(v, x):
+                # same truncation as save_image_dir's .astype(np.uint8)
+                u8 = jnp.floor((jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5)
+                return InceptionV3Features(fidelity_u8=True).apply(v, u8)
+        else:
+            def fn(v, x):
+                return InceptionV3Features().apply(v, x)
+        self._fn = jax.jit(fn)
 
     def __call__(self, images: Iterable[np.ndarray]) -> np.ndarray:
         """images: iterable of NHWC [-1,1] batches -> (N, 2048)."""

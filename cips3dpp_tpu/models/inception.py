@@ -42,6 +42,30 @@ class BasicConv(nn.Module):
         return nn.relu(x)
 
 
+def _tf1_resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Interpolation matrix for TF1 ResizeBilinear (align_corners=False,
+    half_pixel_centers=False) — torch-fidelity's
+    interpolate_bilinear_2d_like_tensorflow1x: src = dst * in/out, clamped,
+    NO half-pixel offset and NO antialiasing."""
+    src = np.arange(out_size, dtype=np.float64) * (in_size / out_size)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    t = (src - lo).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += 1.0 - t
+    m[np.arange(out_size), hi] += t
+    return m
+
+
+def tf1_bilinear_resize(x, out_h: int, out_w: int):
+    """TF1-style bilinear resize of NHWC x via two interpolation matmuls
+    (MXU-friendly: a (out,in) dense matmul per axis beats a gather)."""
+    mh = jnp.asarray(_tf1_resize_matrix(x.shape[1], out_h))
+    mw = jnp.asarray(_tf1_resize_matrix(x.shape[2], out_w))
+    x = jnp.einsum("oh,bhwc->bowc", mh, x)
+    return jnp.einsum("pw,bowc->bopc", mw, x)
+
+
 def _avg_pool3(x):
     return nn.avg_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)),
                        count_include_pad=False)
@@ -131,13 +155,22 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3Features(nn.Module):
-    """Returns the 2048-d pool3 feature used by FID."""
+    """Returns the 2048-d pool3 feature used by FID.
+
+    fidelity_u8=True reproduces torch-fidelity's exact input protocol
+    (eval_fid.py:52-63 runs calculate_metrics over image DIRS, i.e. uint8
+    pixels): x holds u8-valued floats in [0, 255]; TF1-bilinear resize to
+    299^2 FIRST, then (x - 128) / 128. fidelity_u8=False keeps the [-1, 1]
+    float API (resize only). Both use the TF1 resize — jax.image.resize
+    antialiases on downsample, which torch-fidelity does not."""
+
+    fidelity_u8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        """x: NHWC in [-1, 1], any resolution (resized to 299 here)."""
-        b = x.shape[0]
-        x = jax.image.resize(x, (b, 299, 299, 3), method="bilinear")
+        x = tf1_bilinear_resize(x, 299, 299)
+        if self.fidelity_u8:
+            x = (x - 128.0) / 128.0
         x = BasicConv(32, (3, 3), stride=(2, 2), name="Conv2d_1a_3x3")(x)
         x = BasicConv(32, (3, 3), name="Conv2d_2a_3x3")(x)
         x = BasicConv(64, (3, 3), padding=(1, 1), name="Conv2d_2b_3x3")(x)

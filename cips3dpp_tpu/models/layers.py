@@ -227,22 +227,23 @@ class Blur(nn.Module):
 # Derived from the same stored weights, so checkpoint parity is preserved
 # up to bf16/fp32 rounding of the composed kernel.
 #
-# Default None = auto: fuse only when tracing for TPU. XLA:CPU's backward
-# pass for the composed dense (k+3)x(k+3) stride-2 convs is pathological at
-# compile time (g_step: >9 min / 14 GB vs 37 s unfused, measured on the
-# 8-device CPU dryrun host), while the unfused Blur->conv pair is exactly
-# equal in arithmetic — so CPU tests/dryruns keep the proven-fast graph.
-# Set True/False to force either form (the A/B harness does).
-FUSE_DOWN_CONV = None
+# Default False everywhere — the fold is a MEASURED DEAD-END on both
+# backends (round 5 closed it):
+# - TPU: the composed dense convs' backward does not even COMPILE at the
+#   flagship training config (batch-4 1024^2 d_step): XLA:TPU assigns the
+#   block_1024 conv temps layouts with 4.0x padding expansion and the
+#   program needs 16.24G (no-remat) / 16.28G (remat_d) of the 15.75G HBM —
+#   compile-time OOM both ways (docs/r5_logs/ab_blur.log). The round-3
+#   trace hypothesis (blur bracketed by layout copies) never survived an
+#   on-chip measurement.
+# - CPU: the backward compile is pathological (g_step >9 min / 14 GB vs
+#   37 s unfused, measured on the 8-device dryrun host).
+# The unfused Blur->conv pair is exactly equal in arithmetic and keeps the
+# proven graph. Set True to force the fold (exactness pytest + A/B only).
+FUSE_DOWN_CONV = False
 
 
 def _fuse_down_conv_enabled() -> bool:
-    if FUSE_DOWN_CONV is None:
-        import jax
-
-        # device platform, not backend name: the remote-TPU plugin backend
-        # is named differently but its devices report platform "tpu"
-        return jax.devices()[0].platform == "tpu"
     return bool(FUSE_DOWN_CONV)
 
 

@@ -89,40 +89,63 @@ real = jnp.asarray(
 alpha = jnp.ones(())
 rngs = jax.random.split(jax.random.PRNGKey(42), 4096)
 
-variants = {}
 # (SEPARABLE_BLUR, FUSE_DOWN_CONV) per variant
 FLAG_SETS = {"fuse_down": (False, True), "depthwise": (False, False),
              "separable": (True, False)}
 names = os.environ.get("AB_VARIANTS", "fuse_down,depthwise").split(",")
-for name in names:
-    sep, fuse = FLAG_SETS[name]
-    ufd.SEPARABLE_BLUR = sep
-    layers_mod.FUSE_DOWN_CONV = fuse
-    # donate=False: both variants share the same immutable state pytrees
-    d_step, _, _, _ = make_train_steps(
-        generator, d_decoder, d_render, gen_cfg, cfg,
-        (tx_g, tx_d, tx_dr), donate=False,
-    )
-    t0 = time.perf_counter()
-    st, _ = d_step(fresh_state(), real, rngs[0], alpha, False)
-    chk = float(jax.tree.leaves(st.params_d)[0].ravel()[0])
-    print(f"compiled {name} in {time.perf_counter()-t0:.0f}s "
-          f"chk={chk:.6f}", flush=True)
-    variants[name] = d_step
 
-results = {n: [] for n in variants}
-ri = 1
-for rnd in range(4):
-    for n, step in variants.items():
-        st = fresh_state()
+
+def _is_oom(e):
+    s = str(e)
+    return ("RESOURCE_EXHAUSTED" in s or "Ran out of memory" in s
+            or "Out of memory" in s)
+
+
+def run_ab(run_cfg):
+    variants = {}
+    for name in names:
+        sep, fuse = FLAG_SETS[name]
+        ufd.SEPARABLE_BLUR = sep
+        layers_mod.FUSE_DOWN_CONV = fuse
+        # donate=False: both variants share the same immutable state pytrees
+        d_step, _, _, _ = make_train_steps(
+            generator, d_decoder, d_render, gen_cfg, run_cfg,
+            (tx_g, tx_d, tx_dr), donate=False,
+        )
         t0 = time.perf_counter()
-        for _ in range(ITERS):
-            st, _ = step(st, real, rngs[ri], alpha, False)
-            ri += 1
-        float(jax.tree.leaves(st.params_d)[0].ravel()[0])
-        results[n].append((time.perf_counter() - t0) / ITERS)
-    print(f"round {rnd}: " + " ".join(
-        f"{n}={results[n][-1]*1e3:.0f}ms" for n in results), flush=True)
-for n, v in results.items():
-    print(f"{n}: med {np.median(v)*1e3:.1f} ms min {min(v)*1e3:.1f} ms",
-          flush=True)
+        st, _ = d_step(fresh_state(), real, rngs[0], alpha, False)
+        chk = float(jax.tree.leaves(st.params_d)[0].ravel()[0])
+        print(f"compiled {name} in {time.perf_counter()-t0:.0f}s "
+              f"chk={chk:.6f}", flush=True)
+        variants[name] = d_step
+
+    results = {n: [] for n in variants}
+    ri = 1
+    for rnd in range(4):
+        for n, step in variants.items():
+            st = fresh_state()
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                st, _ = step(st, real, rngs[ri], alpha, False)
+                ri += 1
+            float(jax.tree.leaves(st.params_d)[0].ravel()[0])
+            results[n].append((time.perf_counter() - t0) / ITERS)
+        print(f"round {rnd}: " + " ".join(
+            f"{n}={results[n][-1]*1e3:.0f}ms" for n in results), flush=True)
+    for n, v in results.items():
+        print(f"{n}: med {np.median(v)*1e3:.1f} ms min {min(v)*1e3:.1f} ms"
+              f" (remat_d={run_cfg.remat_d})", flush=True)
+
+
+try:
+    run_ab(cfg)
+except Exception as e:  # noqa: BLE001 — OOM-specific fallback below
+    if not _is_oom(e) or cfg.remat_d:
+        raise
+    # Round-4 lesson: the fuse_down variant + a second resident executable
+    # tips the ~96%-HBM no-remat config over. Retry both variants under
+    # remat_d=True — the A/B is relative, so the comparison stays valid.
+    import dataclasses
+    print("# OOM with remat_d=False — retrying the full A/B with "
+          "remat_d=True", flush=True)
+    run_ab(dataclasses.replace(cfg, remat_d=True))

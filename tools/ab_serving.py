@@ -36,14 +36,16 @@ N = 64
 yaw = jnp.linspace(-0.3, 0.3, N).reshape(-1, 1)
 
 
-def make_traj(fused_dec, noise_kw):
+def make_traj(fused_dec, noise_kw, mdl=None, fused_ren=True):
+    mdl = model if mdl is None else mdl
+
     def frame(carry, az):
         c = camera_from_angles(az, jnp.zeros((1,)), cfg.img_size,
                                fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius)
-        out = model.apply(params, zs=zs, cam_poses=c.extrinsics,
-                          focals=c.focal, near=c.near, far=c.far,
-                          perturb=False, fused_renderer=True,
-                          fused_decoder=fused_dec, **noise_kw)
+        out = mdl.apply(params, zs=zs, cam_poses=c.extrinsics,
+                        focals=c.focal, near=c.near, far=c.far,
+                        perturb=False, fused_renderer=fused_ren,
+                        fused_decoder=fused_dec, **noise_kw)
         return carry + out["rgb"].astype(jnp.float32).mean(), None
 
     @jax.jit
@@ -88,6 +90,10 @@ VARIANTS = [
     # matmuls (K = 2L+P+1). fold_noise-only (K = 2L+P) was the measured
     # dead-end #6; this adds the bias lane on top.
     ("fold_bias", None, None),
+    # fp32 pure-XLA path (no Pallas, fp32 compute dtypes, same params) —
+    # refreshes the round-2-era 9.2 ms/frame figure as an interleaved
+    # ratio vs the fused bf16 default (docs/STATUS.md r2 row).
+    ("xla_fp32", None, None),
 ]
 _sel = os.environ.get("AB_VARIANTS")
 if _sel:
@@ -112,6 +118,13 @@ for name, fd, kw in VARIANTS:
             _sr.SIN_DEGREE = 9
     elif name == "fold_bias":
         tr = make_traj_prep_split(fold_rgb=True, fold_noise="bias")
+    elif name == "xla_fp32":
+        from cips3dpp_tpu.models.generator import preset_r1024
+
+        # dtype fields are compute dtypes — param trees are identical, so
+        # the serving params drive the fp32 graph directly.
+        tr = make_traj(False, {"noise_bufs": noise_bufs},
+                       mdl=Generator(preset_r1024()), fused_ren=False)
     elif name.startswith("frames"):
         tr = make_traj_prep_split(fold_rgb=True,
                                   frames_per_step=int(name[len("frames"):]))
