@@ -362,8 +362,8 @@ def torch_tf1_resize(x, out_h, out_w):
 
     mh = mat(x.shape[2], out_h)
     mw = mat(x.shape[3], out_w)
-    return torch.einsum("pw,bcop->bcow", mw,
-                        torch.einsum("oh,bchw->bcow", mh, x))
+    y = torch.einsum("oh,bchw->bcow", mh, x)  # (b, c, out_h, in_w)
+    return torch.einsum("pw,bcow->bcop", mw, y)  # (b, c, out_h, out_w)
 
 
 def synth_inception_state_dict(seed=0):
