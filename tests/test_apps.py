@@ -196,3 +196,66 @@ def test_web_mode_argv_matches_cli_surface():
             if tok.startswith("--"):
                 assert f'"{tok}"' in src or f'"{tok}"' in base_src, (
                     mode, cmd, tok)
+
+
+@pytest.mark.slow
+def test_inversion_self_recovery(tiny_gen):
+    """Functional gate (not just motion): invert a target RENDERED BY THE
+    SAME MODEL at a known pose with mean latents. The pose phase must (a)
+    drive the loss down and (b) move azim from its 0.02 init toward the
+    true azim*=0.3 (projector_v10.py:915-1100's pose-phase objective) —
+    this needs no pretrained VGG: random-VGG features preserve L2
+    structure well enough for pose recovery."""
+    from cips3dpp_tpu.apps.inversion import Projector, InversionConfig
+    from cips3dpp_tpu.core.camera import camera_from_angles
+    from cips3dpp_tpu.models.vgg import init_vgg
+
+    cfg, model, params = tiny_gen
+    azim_true = 0.3
+
+    bound = model.bind(params)
+    means = model.apply(params, jax.random.PRNGKey(5), 512,
+                        method="mean_latents")
+    wr, wd = means
+    sr = jnp.repeat(wr[:, None, :], cfg.renderer.n_layers + 1, axis=1)
+    sd = jnp.repeat(wd[:, None, :], bound.decoder.n_latent, axis=1)
+    cam = camera_from_angles(
+        jnp.asarray([azim_true]), jnp.asarray([0.0]), cfg.img_size,
+        fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius,
+    )
+    noise = list(bound.decoder.make_noise(jax.random.PRNGKey(0), cfg.img_size))
+    out = model.apply(
+        params, style_render=sr, style_decoder=sd,
+        cam_poses=cam.extrinsics, focals=cam.focal, near=cam.near,
+        far=cam.far, noise_bufs=noise, perturb=True,
+        rngs={"perturb": jax.random.PRNGKey(7)},
+    )
+    target = np.asarray(out["rgb"][0])
+
+    vgg = init_vgg(jax.random.PRNGKey(0), img_size=target.shape[0])
+    # noise-buf optimisation off: during the pose phase the decoder group is
+    # lr-gated to zero, so the (huge, constant) noise-autocorrelation reg
+    # would swamp the logged loss without ever moving. lr_cam raised for the
+    # tiny model: perturb-jitter gradient noise shrinks Adam's normalised
+    # update to ~0.05, so the reference lr crawls at this scale.
+    icfg = InversionConfig(
+        n_steps_pose=150, n_steps_app=0, n_steps_multiview=0,
+        mask_background=False, w_avg_samples=512, optim_noise_bufs=False,
+        lr_cam=0.1, lr_render_w=0.02,
+    )
+    proj = Projector(model, params, vgg, icfg)
+    logs = []
+    state, proj_img, report = proj.project(
+        target, key=jax.random.PRNGKey(1), azim_init=(0.02, 0.02),
+        logger=lambda s, m: logs.append((s, m)), log_every=10,
+    )
+    first_loss = logs[0][1]["loss"]
+    last_loss = logs[-1][1]["loss"]
+    assert np.isfinite(last_loss)
+    assert last_loss < first_loss, (first_loss, last_loss)
+
+    azim_rec = float(np.asarray(state.azim).ravel()[0])
+    err0 = abs(0.02 - azim_true)
+    err = abs(azim_rec - azim_true)
+    assert err < err0, (azim_rec, azim_true)
+    assert err < 0.15, (azim_rec, azim_true)  # measured 0.114 (0.414 rec)
