@@ -130,9 +130,12 @@ class Projector:
         # Pallas fused SIREN forward (exact-XLA backward via custom_vjp);
         # auto-on for the flagship depth-2 geometry on TPU.
         if fused is None:
+            # device platform, not backend name: the remote-TPU plugin
+            # backend is named differently ("axon") but its devices report
+            # platform "tpu" (same pitfall as models/layers.py had)
             fused = (
                 model.cfg.renderer.n_layers == 2
-                and jax.default_backend() == "tpu"
+                and jax.devices()[0].platform == "tpu"
             )
         self.fused = fused
         self._step_fns = {}
