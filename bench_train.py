@@ -51,11 +51,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     # defaults = the fastest configuration that FITS one v5e's HBM at
-    # batch 4: bf16 Ds + NO remat + chunked lazy-R1 (mem-only: d_step_r1
-    # 15.17 of 15.75 GB; measured 0.854 s/iter vs 1.048 with remat — the
-    # remat recompute + XLA's compressed-remat copy pairs were ~18% of the
-    # iteration). fp32 no-remat OOMs d_step_r1 (17.6 GB) — pass
-    # --d-dtype float32 --remat-d to reproduce the docs/STATUS.md table.
+    # batch 4: bf16 Ds + bf16-COMPUTE decoder (params fp32) + NO remat +
+    # chunked lazy-R1 (configs/ffhq.yaml train_r1024_fast). Measured r5:
+    # 0.790 s/iter vs 0.854 with a fp32 decoder (ab_gstep_dec: g_step 229
+    # vs 350 ms) vs 1.048 with remat. fp32 no-remat OOMs d_step_r1
+    # (17.6 GB) — pass --d-dtype float32 --remat-d to reproduce the
+    # docs/STATUS.md table; --dec-dtype float32 for the r3 record config.
     ap.add_argument("--d-dtype", default="bfloat16")
     ap.add_argument("--remat-d", dest="remat_d", action="store_true",
                     default=False)
@@ -64,7 +65,8 @@ def main():
     ap.add_argument("--mem-only", action="store_true")
     ap.add_argument("--no-fused", action="store_true")
     ap.add_argument("--no-donate", action="store_true")
-    ap.add_argument("--dec-dtype", default=None, help="decoder compute dtype")
+    ap.add_argument("--dec-dtype", default="bfloat16",
+                    help="decoder compute dtype (params stay fp32)")
     ap.add_argument("--r1-chunk", type=int, default=2,
                     help="chunked lazy-R1 grad accumulation (memory)")
     ap.add_argument("--remat-dec", action="store_true",
