@@ -34,17 +34,26 @@ import numpy as np
 
 def fill_like(tree, scale=0.05, seed=0):
     """Materialise random params for a shape tree (timing-only init — skips
-    the expensive module-init compile; values don't affect step timing)."""
+    the expensive module-init compile; values don't affect step timing).
+
+    Positivity-sensitive scalars are pinned to their real init: a random
+    near-zero/negative `sigmoid_beta` makes sdf_to_sigma produce negative
+    sigma, so alpha = 1-exp(+sigma*1e10) overflows and the whole render is
+    NaN (seen as 100%-NaN Inception features in the fid dry-run)."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.RandomState(seed)
-    leaves, treedef = jax.tree.flatten(tree)
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
     out = []
-    for l in leaves:
-        a = rng.normal(0.0, scale, size=l.shape).astype(l.dtype)
+    for path, l in leaves:
+        name = jax.tree_util.keystr(path)
+        if "sigmoid_beta" in name:
+            a = np.full(l.shape, 0.1, dtype=l.dtype)
+        else:
+            a = rng.normal(0.0, scale, size=l.shape).astype(l.dtype)
         out.append(jnp.asarray(a))
-    return jax.tree.unflatten(treedef, out)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def main():

@@ -24,6 +24,24 @@ from ..models.inception import InceptionV3Features
 # ---------------------------------------------------------------- metrics --
 
 
+def _sym_eigvals(m):
+    """Eigenvalues of a symmetric PSD matrix, robust to LAPACK dsyevd
+    non-convergence on degenerate/badly-scaled spectra (seen with
+    rank-deficient covariances at tiny sample counts): scale-normalise,
+    then fall back to SVD (singular values == |eigenvalues| == eigenvalues
+    for PSD input)."""
+    m = (m + m.T) / 2
+    scale = float(np.max(np.abs(m)))
+    if not np.isfinite(scale):
+        raise ValueError("non-finite covariance product in FID")
+    if scale == 0.0:
+        return np.zeros(len(m))
+    try:
+        return np.linalg.eigvalsh(m / scale) * scale
+    except np.linalg.LinAlgError:
+        return np.linalg.svd(m / scale, compute_uv=False) * scale
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
     """FID between two feature Gaussians (host numpy/scipy-free):
     |mu1-mu2|^2 + tr(S1 + S2 - 2 sqrtm(S1 S2)). The matrix sqrt uses an
@@ -37,7 +55,7 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
     va, ua = np.linalg.eigh(s1 + eps * np.eye(len(s1)))
     sq1 = ua @ np.diag(np.sqrt(np.maximum(va, 0))) @ ua.T
     inner = sq1 @ (s2 + eps * np.eye(len(s2))) @ sq1
-    vi = np.linalg.eigvalsh((inner + inner.T) / 2)
+    vi = _sym_eigvals(inner)
     tr_covmean = np.sum(np.sqrt(np.maximum(vi, 0)))
 
     return float(diff @ diff + np.trace(s1) + np.trace(s2) - 2 * tr_covmean)

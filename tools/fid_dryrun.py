@@ -1,14 +1,28 @@
 """Full-protocol FID throughput dry-run on chip (VERDICT r4 item 4).
 
 Runs the reference's FID pipeline shape end-to-end at the flagship
-geometry — mesh/batched generation (gen_images.py:33-92) -> u8-quantised
+geometry — batched generation (gen_images.py:33-92) -> u8-quantised
 fidelity-protocol Inception features -> Frechet + KID — with random
 G/Inception weights (weights change the VALUES, not the throughput), and
 extrapolates the 50k/50k protocol (train_cips3d_ffhq_v10.yaml:800-806).
 
-Prints ONE JSON line with per-phase throughput and the 50k/50k estimate.
+STREAMING by design: images never accumulate on the host (a 10k fake set
+at 1024^2 fp32 is ~126 GB — the v1 of this tool died that way). Each
+generated batch is fed to Inception in the SAME XLA program; only the
+(batch, 2048) features come back to the host. The per-batch feature
+fetch also forces completion, satisfying the axon timing hazard
+(docs/STATUS.md: time only via host-fetched results).
 
-Usage: python tools/fid_dryrun.py [--n 10000] [--batch 16]
+Protocol legs measured:
+  A. fakes: gen+inception composed, n images (the 50k-fakes leg)
+  B. "reals" sanity set: a second composed run with a different seed —
+     FID(fakes, fakes') should be ~0, a numerical gate on the metric
+  C. inception-only on host batches (the 50k-reals-from-disk leg),
+     n_real images, extrapolated
+
+Prints ONE JSON line.
+
+Usage: python tools/fid_dryrun.py [--n 10000] [--batch 16] [--n-real 2048]
 """
 import argparse
 import json
@@ -28,94 +42,146 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10_000)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--incep-batch", type=int, default=16)
+    ap.add_argument("--n-real", type=int, default=2048,
+                    help="images through the inception-only (reals) leg")
+    ap.add_argument("--progress-every", type=int, default=50)
+    ap.add_argument("--preset", default="serving", choices=["serving", "r64"],
+                    help="r64 is the CPU smoke-test geometry")
     args = ap.parse_args()
 
-    from cips3dpp_tpu.models.generator import Generator, preset_serving
-    from cips3dpp_tpu.models.inception import init_inception
+    from cips3dpp_tpu.models.generator import (
+        Generator, preset_serving, preset_r64,
+    )
+    from cips3dpp_tpu.models.inception import init_inception, InceptionV3Features
     from cips3dpp_tpu.apps.eval_fid import (
-        InceptionExtractor,
         feature_stats,
         frechet_distance,
-        generate_images,
         kid,
     )
+    from cips3dpp_tpu.core.camera import sample_cameras
     from bench_train import fill_like
 
     print("devices:", jax.devices(), flush=True)
-    model = Generator(preset_serving())
+    model = Generator(
+        preset_serving() if args.preset == "serving" else preset_r64())
     cfg = model.cfg
+    batch = args.batch
 
     key = jax.random.PRNGKey(0)
-    from cips3dpp_tpu.core.camera import sample_cameras
-
-    cam = sample_cameras(key, args.batch, cfg.img_size)
-    zs = (jnp.zeros((args.batch, cfg.mapping.z_dim)),) * 2
+    cam0 = sample_cameras(key, batch, cfg.img_size)
+    zs0 = (jnp.zeros((batch, cfg.mapping.z_dim)),) * 2
     shapes = jax.eval_shape(lambda: model.init(
-        {"params": key, "perturb": key, "noise": key}, zs=zs,
-        cam_poses=cam.extrinsics, focals=cam.focal, near=cam.near,
-        far=cam.far))
+        {"params": key, "perturb": key, "noise": key}, zs=zs0,
+        cam_poses=cam0.extrinsics, focals=cam0.focal, near=cam0.near,
+        far=cam0.far))
     params = fill_like(shapes, seed=1)
-    incep = init_inception(jax.random.PRNGKey(2))
-    extractor = InceptionExtractor(incep, args.incep_batch)
+    incep_vars = init_inception(jax.random.PRNGKey(2))
+    incep = InceptionV3Features(fidelity_u8=True)
 
-    # --- phase 1: generation throughput (fakes stay on device) ------------
+    @jax.jit
+    def gen_feats(params, incep_vars, key):
+        """One batch: G sample -> u8 quantise (save_image_dir semantics,
+        eval_fid.py:52-63) -> fidelity-protocol Inception features. One XLA
+        program; only (batch, 2048) leaves the device."""
+        kz0, kz1, kc, kp, kn = jax.random.split(key, 5)
+        zs = (
+            jax.random.normal(kz0, (batch, cfg.mapping.z_dim)),
+            jax.random.normal(kz1, (batch, cfg.mapping.z_dim)),
+        )
+        cam = sample_cameras(
+            kc, batch, cfg.img_size,
+            azim_range=cfg.azim_range, elev_range=cfg.elev_range,
+            fov_ang=cfg.fov_ang, dist_radius=cfg.dist_radius,
+            uniform=cfg.uniform_camera,
+        )
+        out = model.apply(
+            params, zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+            near=cam.near, far=cam.far, rngs={"perturb": kp, "noise": kn},
+        )
+        rgb = jnp.clip(out["rgb"], -1.0, 1.0)
+        u8 = jnp.floor((rgb + 1.0) * 127.5)
+        return incep.apply(incep_vars, u8)
+
+    @jax.jit
+    def incep_only(incep_vars, x):
+        u8 = jnp.floor((jnp.clip(x, -1.0, 1.0) + 1.0) * 127.5)
+        return incep.apply(incep_vars, u8)
+
+    # ---- compile + warmup (not timed) -------------------------------------
     t0 = time.perf_counter()
-    fakes = []
-    for batch in generate_images(model, params, args.n, args.batch,
-                                 jax.random.PRNGKey(3), to_host=True):
-        fakes.append(batch)
-    gen_s = time.perf_counter() - t0
-    n_gen = sum(len(b) for b in fakes)
-    print(f"# generated {n_gen} imgs in {gen_s:.1f}s "
-          f"({n_gen / gen_s:.1f} img/s)", flush=True)
+    np.asarray(gen_feats(params, incep_vars, jax.random.PRNGKey(99)))
+    np.asarray(incep_only(
+        incep_vars, jnp.zeros((batch, cfg.out_size, cfg.out_size, 3))))
+    print(f"# compile+warmup {time.perf_counter() - t0:.0f}s", flush=True)
 
-    # --- phase 2: inception features (fakes + equally many 'reals') -------
-    t0 = time.perf_counter()
-    fake_feats = extractor(iter(fakes))
-    fake_s = time.perf_counter() - t0
+    def run_set(seed, n, tag):
+        feats = []
+        k = jax.random.PRNGKey(seed)
+        t0 = time.perf_counter()
+        n_batches = (n + batch - 1) // batch
+        for i in range(n_batches):
+            k, sub = jax.random.split(k)
+            feats.append(np.asarray(gen_feats(params, incep_vars, sub)))
+            if (i + 1) % args.progress_every == 0:
+                done = (i + 1) * batch
+                rate = done / (time.perf_counter() - t0)
+                print(f"# {tag}: {done}/{n} ({rate:.1f} img/s)", flush=True)
+        wall = time.perf_counter() - t0
+        return np.concatenate(feats, axis=0)[:n], wall
 
+    # ---- leg A+B: two composed gen+inception sets --------------------------
+    fake_feats, fake_s = run_set(3, args.n, "fakes")
+    real2_feats, real2_s = run_set(4, args.n, "fakes'")
+    finite = float(np.isfinite(fake_feats).mean())
+    print(f"# feature health: finite {finite:.4f}, "
+          f"absmax {np.nanmax(np.abs(fake_feats)):.3g}", flush=True)
+    if finite < 1.0:
+        # random-weight activations can overflow; values are meaningless
+        # anyway (throughput-only tool) — sanitise so the metric leg runs
+        fake_feats = np.nan_to_num(fake_feats, posinf=1e6, neginf=-1e6)
+        real2_feats = np.nan_to_num(real2_feats, posinf=1e6, neginf=-1e6)
+    gen_rate = args.n / fake_s
+    print(f"# composed gen+inception: {gen_rate:.1f} img/s "
+          f"(set A {fake_s:.0f}s, set B {real2_s:.0f}s)", flush=True)
+
+    # ---- leg C: inception-only (reals-from-disk leg) ------------------------
     rng = np.random.RandomState(0)
-
-    def real_batches():
-        left = args.n
-        while left > 0:
-            b = min(args.incep_batch, left)
-            left -= b
-            yield rng.uniform(-1, 1, (b, cfg.out_size, cfg.out_size, 3)).astype(
-                np.float32
-            )
-
+    host_batch = rng.uniform(
+        -1, 1, (batch, cfg.out_size, cfg.out_size, 3)).astype(np.float32)
     t0 = time.perf_counter()
-    real_feats = extractor(real_batches())
+    n_real_batches = (args.n_real + batch - 1) // batch
+    for _ in range(n_real_batches):
+        np.asarray(incep_only(incep_vars, host_batch))
     real_s = time.perf_counter() - t0
-    print(f"# inception: fakes {args.n / fake_s:.1f} img/s, "
-          f"reals {args.n / real_s:.1f} img/s", flush=True)
+    incep_rate = n_real_batches * batch / real_s
+    print(f"# inception-only: {incep_rate:.1f} img/s", flush=True)
 
-    # --- phase 3: metrics -------------------------------------------------
+    # ---- metrics ------------------------------------------------------------
     t0 = time.perf_counter()
     mu_f, sig_f = feature_stats(fake_feats)
-    mu_r, sig_r = feature_stats(real_feats)
+    mu_r, sig_r = feature_stats(real2_feats)
     fid = frechet_distance(mu_f, sig_f, mu_r, sig_r)
-    kid_mean, kid_std = kid(fake_feats, real_feats)
+    kid_mean, kid_std = kid(fake_feats, real2_feats)
     metric_s = time.perf_counter() - t0
 
-    total_s = gen_s + fake_s + real_s + metric_s
-    # 50k/50k: generation + inception on 50k fakes; reals' features are
-    # cached across evals in practice, but count one pass to be safe.
-    est_50k = (gen_s + fake_s + real_s) * (50_000 / args.n) + metric_s
+    # 50k/50k: 50k fakes through the composed path, 50k reals through
+    # inception only (their features are cached across evals in practice,
+    # but count one pass to be safe), plus the metric step.
+    est_50k = 50_000 / gen_rate + 50_000 / incep_rate + metric_s
     print(json.dumps({
         "metric": "fid_protocol_dryrun",
         "n": args.n,
-        "gen_img_per_s": round(n_gen / gen_s, 2),
-        "inception_img_per_s": round(2 * args.n / (fake_s + real_s), 2),
-        "fid_random_weights": round(fid, 4),
-        "kid_mean": round(kid_mean, 6),
-        "kid_std": round(kid_std, 6),
-        "wall_s": round(total_s, 1),
+        "gen_plus_inception_img_per_s": round(gen_rate, 2),
+        "inception_only_img_per_s": round(incep_rate, 2),
+        "fid_same_model_sanity": round(float(fid), 4),
+        "kid_mean": round(float(kid_mean), 6),
+        "kid_std": round(float(kid_std), 6),
+        "metric_s": round(metric_s, 1),
         "est_50k_50k_s": round(est_50k, 1),
+        "est_50k_50k_min": round(est_50k / 60, 1),
         "provenance": "builder-captured, single-process on the shared axon "
-        "chip; random G/Inception weights (throughput-only)",
+        "chip; random G/Inception weights (throughput-only; the sanity FID "
+        "compares two same-model sets and should be ~0)",
     }), flush=True)
 
 
