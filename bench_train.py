@@ -76,6 +76,11 @@ def main():
     ap.add_argument("--no-donate", action="store_true")
     ap.add_argument("--dec-dtype", default="bfloat16",
                     help="decoder compute dtype (params stay fp32)")
+    ap.add_argument("--d-seq", action="store_true",
+                    help="sequential fake/real decoder-D grad accumulation")
+    ap.add_argument("--fused-g", action="store_true",
+                    help="Pallas fused SIREN in the G update (eikonal via "
+                    "standalone trunk vjp)")
     ap.add_argument("--r1-chunk", type=int, default=2,
                     help="chunked lazy-R1 grad accumulation (memory)")
     ap.add_argument("--remat-dec", action="store_true",
@@ -124,6 +129,8 @@ def main():
         d_dtype=args.d_dtype,
         fused_renderer_d=not args.no_fused,
         d_r1_chunk=args.r1_chunk,
+        d_seq=args.d_seq,
+        fused_renderer_g=args.fused_g,
     )
     out_size = gen_cfg.out_size
 
@@ -436,6 +443,8 @@ def main():
                 "d_dtype": args.d_dtype,
                 "dec_dtype": args.dec_dtype or gen_cfg.decoder.dtype,
                 "remat_d": cfg.remat_d,
+                "d_seq": cfg.d_seq,
+                "fused_renderer_g": cfg.fused_renderer_g,
                 "oom_fallback": oom_fallback,
                 "fused_renderer_d": not args.no_fused,
                 "peak_hbm_gb": round(peak, 2),

@@ -70,12 +70,12 @@ class VolumeFeatureRenderer(nn.Module):
         mask_depth (B,R,2), xyz (B,R,3), eikonal (B,R,N,3) | None).
 
         fused=True routes through the Pallas SIREN+integration kernel
-        (kernels/siren_render.py) — inference-only (no eikonal), depth-2
-        flagship geometry, applied per batch item via vmap."""
+        (kernels/siren_render.py) — depth-2 flagship geometry, applied per
+        batch item via vmap; grad-safe (custom_vjp with exact XLA backward).
+        With return_eikonal, the eikonal term is a standalone trunk vjp."""
         if (
             fused
             and self.depth == 2
-            and not return_eikonal
             and self.with_sdf
             and jax.default_backend() == "tpu"  # Pallas TPU kernel only
         ):
@@ -97,7 +97,28 @@ class VolumeFeatureRenderer(nn.Module):
             thumb, feat, sdf, maskd, xyz = jax.vmap(one)(
                 styles, pts, viewdirs, z_vals, rays_d
             )
-            return thumb, feat, sdf, maskd, xyz, None
+            eik = None
+            if return_eikonal:
+                # The kernel itself is eikonal-free; d(sdf)/d(pts) is a
+                # standalone XLA vjp of the trunk over the same points —
+                # differentiable again, so the eikonal loss trains exactly
+                # as on the non-fused path. Costs one extra trunk forward,
+                # but the fused render acts as free remat for the main
+                # branch (the custom_vjp backward recomputes its own
+                # residuals), so peak HBM still drops.
+                def net(p):
+                    npts = normalize_points(p, near, far)
+                    return self.run_network(npts, viewdirs, styles)
+
+                (rgb_e, sdf_e, feat_e), vjp = jax.vjp(net, pts)
+                eik = vjp(
+                    (
+                        jnp.zeros_like(rgb_e),
+                        jnp.ones_like(sdf_e),
+                        jnp.zeros_like(feat_e),
+                    )
+                )[0]
+            return thumb, feat, sdf, maskd, xyz, eik
 
         def render_tile(pts_t, rays_d_t, viewdirs_t, z_vals_t):
             if return_eikonal:

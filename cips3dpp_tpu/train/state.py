@@ -77,6 +77,11 @@ class TrainConfig:
     # no eikonal -> kernel-eligible); auto-inert off-TPU / non-flagship
     # geometry (models/renderer.py gating)
     fused_renderer_d: bool = True
+    # Pallas fused SIREN in the G update itself (VERDICT r4 item 6): the
+    # custom_vjp backward recomputes its residuals (free remat) and the
+    # eikonal term is a standalone trunk vjp (models/renderer.py fused
+    # branch) — numerics match the XLA path, costs one extra trunk forward.
+    fused_renderer_g: bool = False
     # compute dtype for both discriminators ("bfloat16" halves D HBM traffic;
     # logits/losses stay fp32 at the heads)
     d_dtype: str = "float32"
@@ -86,6 +91,12 @@ class TrainConfig:
     # bounds the peak at one chunk — the TPU form of the reference's `chunk`
     # splitting (train_cips3d_ffhq_v10.yaml:182, train_v10.py:173).
     d_r1_chunk: int | None = None
+    # Sequential fake/real decoder-D gradient accumulation (lax.scan):
+    # numerically exact split of the separable logistic loss that halves the
+    # d_step residual peak — the fused form keeps both 1024^2 passes alive
+    # into the backward, which pushes XLA into compression-remat copies at
+    # the flagship config (docs/r5_logs/trace_dstep.log).
+    d_seq: bool = False
 
 
 def _g_label_tree(params):

@@ -199,6 +199,19 @@ def make_train_steps(
             )
             else None
         )
+        # Sequential fake/real decoder-D grads (memory): the logistic loss is
+        # separable — mean(softplus(-real)) + mean(softplus(fake)) — so the
+        # two D passes can run one after the other via lax.scan, halving the
+        # peak residual footprint (the fused form keeps BOTH passes' 1024^2
+        # activations alive into the backward, which at the flagship config
+        # pushes XLA into compression-remat copies; see docs/r5_logs/
+        # trace_dstep.log). Numerically exact, minibatch-stddev untouched
+        # (each pass still sees the full batch).
+        d_seq = cfg.d_seq and gen_cfg.enable_decoder
+        if d_seq and d_regularize and r1_chunked is None:
+            # route R1 through the separate scan below (nc=1 == full batch)
+            # so no decoder-D pass remains inside the fused loss_fn
+            r1_chunked = real_imgs.shape[0]
         k_in, k_g, k_idx, k_a1, k_a2, k_a3 = jax.random.split(rng, 6)
         zs, cam = _sample_inputs(k_in, real_imgs.shape[0], gen_cfg, mesh)
         sample_idx = _maybe_sample_idx(k_idx, real_imgs.shape[0])
@@ -237,7 +250,7 @@ def make_train_steps(
 
             # image D (update_D_decoder :104-134): lazy R1. Skipped entirely
             # in decoder-less (StyleSDF stage-1) mode (train_v10.py:226).
-            if gen_cfg.enable_decoder:
+            if gen_cfg.enable_decoder and not d_seq:
                 fake_pred = dd(params_d, fake_rgb, k_a1)
                 real_pred = dd(params_d, real_imgs, k_a2)
                 d_gan = d_logistic_loss(real_pred, fake_pred)
@@ -274,6 +287,40 @@ def make_train_steps(
         (loss, metrics), (gd, gdr) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params_d, state.params_d_render)
+
+        if d_seq:
+            dds = (
+                jax.checkpoint(lambda p, x, k: dd_apply(p, x, alpha, k))
+                if cfg.remat_d
+                else (lambda p, x, k: dd_apply(p, x, alpha, k))
+            )
+
+            def gan_loss(p, img, sign, k_aug):
+                pred = dds(p, img, k_aug)
+                # sign=+1 -> softplus(fake), sign=-1 -> softplus(-real)
+                return jax.nn.softplus(sign * pred).mean(), pred.mean()
+
+            stack = jnp.stack([fake_rgb, real_imgs.astype(fake_rgb.dtype)])
+            signs = jnp.array([1.0, -1.0], dtype=jnp.float32)
+            aug_keys = jnp.stack([k_a1, k_a2])
+
+            def gan_body(acc, xs):
+                img, sign, k_aug = xs
+                (v, pm), g = jax.value_and_grad(gan_loss, has_aux=True)(
+                    state.params_d, img, sign, k_aug
+                )
+                return jax.tree.map(jnp.add, acc, g), (v, pm)
+
+            zero_gd = jax.tree.map(jnp.zeros_like, gd)
+            gan_g, (gan_vals, pred_means) = jax.lax.scan(
+                gan_body, zero_gd, (stack, signs, aug_keys)
+            )
+            gd = jax.tree.map(jnp.add, gd, gan_g)
+            d_gan = gan_vals.sum()
+            loss = loss + d_gan
+            metrics["d_loss_gan_decoder"] = d_gan
+            metrics["d_logits_fake_decoder"] = pred_means[0]
+            metrics["d_logits_real_decoder"] = pred_means[1]
 
         if r1_chunked is not None:
             b = real_imgs.shape[0]
@@ -343,6 +390,7 @@ def make_train_steps(
                 eikonal_reg=cfg.eikonal_reg,
                 renderer_detach=renderer_detach,
                 sample_idx=sample_idx,
+                fused=cfg.fused_renderer_g,
             )
             fake_pred_r, fake_view = d_render.apply(
                 state.params_d_render, ret["thumb_rgb"], alpha=alpha
