@@ -1,0 +1,140 @@
+"""Same-process interleaved A/B: fused two-pass decoder-D vs d_seq
+(sequential fake/real grad accumulation) inside the full training d_step
+at the flagship config (batch 4, bf16 Ds, bf16-compute decoder, r1_chunk=2).
+
+d_step is 0.530 s of the 0.792 amortized round-5 iter and its trace
+(docs/r5_logs/trace_dstep.log) is dominated by XLA compression-remat and
+layout copies — an HBM-pressure signature. d_seq halves the residual peak
+(tests/test_train.py::test_d_seq_matches_fused proves exactness), so this
+A/B measures whether relieved pressure converts into wall-clock.
+
+Times BOTH the plain d_step (d_regularize=False, 14/15 of iters) and the
+lazy-R1 d_step (d_regularize=True, 1/15).
+
+Usage: python tools/ab_dstep.py [iters_per_round]
+Env: AB_VARIANTS=base,d_seq (default)
+"""
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from cips3dpp_tpu.models.generator import Generator, preset_r1024
+from cips3dpp_tpu.models.discriminator import DStyleGANProgressive
+from cips3dpp_tpu.models.discriminator_pose import DVolumeRenderProgressive
+from cips3dpp_tpu.train.state import (
+    TrainConfig,
+    TrainState,
+    make_g_optimizer,
+    make_d_optimizer,
+    make_d_render_optimizer,
+)
+from cips3dpp_tpu.train.steps import make_train_steps
+from cips3dpp_tpu.core.camera import camera_from_angles
+from bench_train import fill_like
+
+print("devices:", jax.devices(), flush=True)
+
+ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+base_cfg = preset_r1024()
+b, out_size = 4, base_cfg.out_size
+d_decoder = DStyleGANProgressive(input_size=out_size)
+d_render = DVolumeRenderProgressive(input_size=1024, viewpoint_loss=True)
+
+key = jax.random.PRNGKey(0)
+cam = camera_from_angles(jnp.zeros((b,)), jnp.zeros((b,)), base_cfg.img_size,
+                         fov_ang=base_cfg.fov_ang,
+                         dist_radius=base_cfg.dist_radius)
+zs = (jnp.zeros((b, base_cfg.mapping.z_dim)),) * 2
+generator = Generator(base_cfg)
+g_shapes = jax.eval_shape(lambda: generator.init(
+    {"params": key, "perturb": key, "noise": key}, zs=zs,
+    cam_poses=cam.extrinsics, focals=cam.focal, near=cam.near, far=cam.far))
+d_shapes = jax.eval_shape(lambda: d_decoder.init(
+    {"params": key, "diffaug": key}, jnp.zeros((b, out_size, out_size, 3))))
+dr_shapes = jax.eval_shape(lambda: d_render.init(
+    key, jnp.zeros((b, base_cfg.img_size, base_cfg.img_size, 3))))
+params_g = fill_like(g_shapes, seed=1)
+params_d = fill_like(d_shapes, seed=2)
+params_dr = fill_like(dr_shapes, seed=3)
+
+
+def fresh_state(cfg):
+    tx_g = make_g_optimizer(cfg, params_g)
+    tx_d = make_d_optimizer(cfg)
+    tx_dr = make_d_render_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        params_d=params_d,
+        params_d_render=params_dr,
+        params_g_ema=jax.tree.map(lambda x: x.copy(), params_g),
+        opt_g=tx_g.init(params_g),
+        opt_d=tx_d.init(params_d),
+        opt_d_render=tx_dr.init(params_dr),
+        mean_path_length=jnp.zeros(()),
+    )
+    return state, (tx_g, tx_d, tx_dr)
+
+
+alpha = jnp.ones(())
+rngs = jax.random.split(jax.random.PRNGKey(42), 4096)
+real = jnp.asarray(
+    np.random.RandomState(7).uniform(-1, 1, (b, out_size, out_size, 3))
+    .astype(np.float32))
+
+FLAGS = {"base": dict(d_seq=False), "d_seq": dict(d_seq=True)}
+names = os.environ.get("AB_VARIANTS", "base,d_seq").split(",")
+
+variants = {}
+for name in names:
+    cfg = TrainConfig(batch=b, remat_d=False, d_dtype="bfloat16",
+                      fused_renderer_d=True, d_r1_chunk=2, **FLAGS[name])
+    state0, txs = fresh_state(cfg)
+    d_step = make_train_steps(
+        generator, d_decoder, d_render, base_cfg, cfg, txs, donate=False
+    )[0]
+    t0 = time.perf_counter()
+    st, _ = d_step(state0, real, rngs[0], alpha, d_regularize=False)
+    chk = float(jax.tree.leaves(st.params_d)[0].ravel()[0])
+    print(f"compiled {name} d_step in {time.perf_counter()-t0:.0f}s "
+          f"chk={chk:.6f}", flush=True)
+    variants[name] = (d_step, state0)
+
+results = {n: [] for n in variants}
+r1_results = {n: [] for n in variants}
+ri = 1
+for rnd in range(4):
+    for n, (d_step, state0) in variants.items():
+        st = state0
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            st, _ = d_step(st, real, rngs[ri], alpha, d_regularize=False)
+            ri += 1
+        float(jax.tree.leaves(st.params_d)[0].ravel()[0])
+        results[n].append((time.perf_counter() - t0) / ITERS)
+        if rnd == 0:  # compile the r1 variant once, time it in later rounds
+            st, _ = d_step(st, real, rngs[ri], alpha, d_regularize=True)
+            ri += 1
+            float(jax.tree.leaves(st.params_d)[0].ravel()[0])
+        else:
+            t1 = time.perf_counter()
+            for _ in range(max(ITERS // 2, 2)):
+                st, _ = d_step(st, real, rngs[ri], alpha, d_regularize=True)
+                ri += 1
+            float(jax.tree.leaves(st.params_d)[0].ravel()[0])
+            r1_results[n].append(
+                (time.perf_counter() - t1) / max(ITERS // 2, 2))
+    print(f"round {rnd}: " + " ".join(
+        f"{n}={results[n][-1]*1e3:.0f}ms" for n in results), flush=True)
+for n, v in results.items():
+    rv = r1_results[n] or [float("nan")]
+    print(f"{n}: d_step med {np.median(v)*1e3:.1f} ms min {min(v)*1e3:.1f} ms"
+          f" | d_step_r1 med {np.median(rv)*1e3:.1f} ms", flush=True)
