@@ -1,15 +1,24 @@
-"""Same-process interleaved A/B: fused two-pass decoder-D vs d_seq
-(sequential fake/real grad accumulation) inside the full training d_step
-at the flagship config (batch 4, bf16 Ds, bf16-compute decoder, r1_chunk=2).
+"""Same-process interleaved A/B over d_step variants at the flagship
+config (bf16 Ds, bf16-compute decoder, r1_chunk=2).
 
-d_step is 0.530 s of the 0.792 amortized round-5 iter and its trace
+d_step dominates the amortized iter and its trace
 (docs/r5_logs/trace_dstep.log) is dominated by XLA compression-remat and
-layout copies — an HBM-pressure signature. d_seq halves the residual peak
-(tests/test_train.py::test_d_seq_matches_fused proves exactness), so this
-A/B measures whether relieved pressure converts into wall-clock.
+layout copies — an HBM-pressure signature. Variants probe memory levers:
 
-Times BOTH the plain d_step (d_regularize=False, 14/15 of iters) and the
-lazy-R1 d_step (d_regularize=True, 1/15).
+  base    fused two-pass decoder-D, no remat, batch 4
+  d_seq   sequential fake/real grad accumulation (exact split of the
+          separable logistic loss; tests/test_train.py::
+          test_d_seq_matches_fused), batch 4 — settled -5.9% vs base
+  remat4  d_seq + remat_d at batch 4 (does rematerialising the decoder-D
+          passes relieve the compression-remat copies enough to win?)
+  b8      d_seq + remat_d at batch 8 (same-process confirmation of the
+          separate-run +57% img/s claim, docs/STATUS.md)
+
+All variants share ONE donated TrainState (params/opt are
+batch-independent), threaded through every timing leg.
+
+Times the plain d_step (d_regularize=False, 14/15 of iters); the lazy-R1
+legs are gated behind AB_R1=1 (they double resident executables).
 
 Usage: python tools/ab_dstep.py [iters_per_round]
 Env: AB_VARIANTS=base,d_seq (default)
@@ -86,11 +95,24 @@ def fresh_state(cfg):
 
 alpha = jnp.ones(())
 rngs = jax.random.split(jax.random.PRNGKey(42), 4096)
-real = jnp.asarray(
-    np.random.RandomState(7).uniform(-1, 1, (b, out_size, out_size, 3))
-    .astype(np.float32))
+_reals = {}
 
-FLAGS = {"base": dict(d_seq=False), "d_seq": dict(d_seq=True)}
+
+def real_for(batch):
+    if batch not in _reals:
+        _reals[batch] = jnp.asarray(
+            np.random.RandomState(7)
+            .uniform(-1, 1, (batch, out_size, out_size, 3))
+            .astype(np.float32))
+    return _reals[batch]
+
+FLAGS = {
+    "base": dict(d_seq=False),
+    "d_seq": dict(d_seq=True),
+    "remat4": dict(d_seq=True, remat_d=True),
+    "b8": dict(d_seq=True, remat_d=True, batch=8),
+    "b8nr": dict(d_seq=True, remat_d=False, batch=8),
+}
 names = os.environ.get("AB_VARIANTS", "base,d_seq").split(",")
 # The lazy-R1 legs double the resident-executable count; at the flagship
 # no-remat config the first A/B attempt OOM'd the 15.75G HBM (two full
@@ -111,15 +133,20 @@ state0, txs = fresh_state(
                 fused_renderer_d=True, d_r1_chunk=2))
 
 variants = {}
+batches = {}
 st = state0
 for name in names:
-    cfg = TrainConfig(batch=b, remat_d=False, d_dtype="bfloat16",
-                      fused_renderer_d=True, d_r1_chunk=2, **FLAGS[name])
+    kw = dict(batch=b, remat_d=False, d_dtype="bfloat16",
+              fused_renderer_d=True, d_r1_chunk=2)
+    kw.update(FLAGS[name])
+    cfg = TrainConfig(**kw)
+    batches[name] = cfg.batch
     d_step = make_train_steps(
         generator, d_decoder, d_render, base_cfg, cfg, txs, donate=True
     )[0]
     t0 = time.perf_counter()
-    st, _ = d_step(st, real, rngs[0], alpha, d_regularize=False)
+    st, _ = d_step(st, real_for(cfg.batch), rngs[0], alpha,
+                   d_regularize=False)
     chk = float(jax.tree.leaves(st.params_d)[0].ravel()[0])
     print(f"compiled {name} d_step in {time.perf_counter()-t0:.0f}s "
           f"chk={chk:.6f}", flush=True)
@@ -130,6 +157,7 @@ r1_results = {n: [] for n in variants}
 ri = 1
 for rnd in range(4):
     for n, d_step in variants.items():
+        real = real_for(batches[n])
         t0 = time.perf_counter()
         for _ in range(ITERS):
             st, _ = d_step(st, real, rngs[ri], alpha, d_regularize=False)
@@ -154,5 +182,7 @@ for rnd in range(4):
         f"{n}={results[n][-1]*1e3:.0f}ms" for n in results), flush=True)
 for n, v in results.items():
     rv = r1_results[n] or [float("nan")]
-    print(f"{n}: d_step med {np.median(v)*1e3:.1f} ms min {min(v)*1e3:.1f} ms"
+    med = np.median(v)
+    print(f"{n}: d_step med {med*1e3:.1f} ms min {min(v)*1e3:.1f} ms"
+          f" ({batches[n]/med:.2f} img/s in-d_step)"
           f" | d_step_r1 med {np.median(rv)*1e3:.1f} ms", flush=True)
