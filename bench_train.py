@@ -78,6 +78,9 @@ def main():
                     help="decoder compute dtype (params stay fp32)")
     ap.add_argument("--d-seq", action="store_true",
                     help="sequential fake/real decoder-D grad accumulation")
+    ap.add_argument("--d-cat", action="store_true",
+                    help="concatenated fake/real decoder-D pass (one "
+                    "batch-(2n) forward, sign-split loss, per-half stddev)")
     ap.add_argument("--fused-g", action="store_true",
                     help="Pallas fused SIREN in the G update (eikonal via "
                     "standalone trunk vjp)")
@@ -130,6 +133,7 @@ def main():
         fused_renderer_d=not args.no_fused,
         d_r1_chunk=args.r1_chunk,
         d_seq=args.d_seq,
+        d_cat=args.d_cat,
         fused_renderer_g=args.fused_g,
     )
     out_size = gen_cfg.out_size
@@ -444,6 +448,7 @@ def main():
                 "dec_dtype": args.dec_dtype or gen_cfg.decoder.dtype,
                 "remat_d": cfg.remat_d,
                 "d_seq": cfg.d_seq,
+                "d_cat": cfg.d_cat,
                 "fused_renderer_g": cfg.fused_renderer_g,
                 "oom_fallback": oom_fallback,
                 "fused_renderer_d": not args.no_fused,

@@ -47,9 +47,25 @@ class ResBlock(nn.Module):
         return (out + skip) / SQRT2
 
 
-def minibatch_stddev(x, group_size: int = 4, num_features: int = 1):
+def minibatch_stddev(
+    x, group_size: int = 4, num_features: int = 1, split: int | None = None
+):
     """Append per-group feature stddev as an extra channel
-    (discriminator.py:106-118). x: (B, H, W, C)."""
+    (discriminator.py:106-118). x: (B, H, W, C).
+
+    With `split=k`, the statistic is computed independently over x[:k] and
+    x[k:] — used by the concatenated fake/real training pass (d_cat) so a
+    single batch-(2n) forward reproduces the per-pass batch-n statistics of
+    the reference's two separate D calls exactly.
+    """
+    if split is not None:
+        return jnp.concatenate(
+            [
+                minibatch_stddev(x[:split], group_size, num_features),
+                minibatch_stddev(x[split:], group_size, num_features),
+            ],
+            axis=0,
+        )
     b, h, w, c = x.shape
     group = min(b, group_size)
     if b % group != 0:
@@ -69,9 +85,9 @@ class _DFinal(nn.Module):
     channel: int  # channels[4]
 
     @nn.compact
-    def __call__(self, out):
+    def __call__(self, out, stddev_split: int | None = None):
         b = out.shape[0]
-        final = minibatch_stddev(out)
+        final = minibatch_stddev(out, split=stddev_split)
         final = ConvLayer(self.channel, 3, name="final_conv")(final)
         final = final.reshape(b, -1)
         final = EqualLinear(
@@ -119,8 +135,18 @@ class DStyleGANProgressive(nn.Module):
     diffaug: bool = False
 
     @nn.compact
-    def __call__(self, x, alpha=1.0):
-        if self.diffaug:
+    def __call__(
+        self,
+        x,
+        alpha=1.0,
+        stddev_split: int | None = None,
+        skip_augment: bool = False,
+    ):
+        """`stddev_split`/`skip_augment` support the concatenated fake/real
+        training pass (train.steps d_cat): the caller pre-augments each half
+        with its own key and the minibatch-stddev statistic is computed
+        per-half, so one batch-(2n) forward matches two batch-n passes."""
+        if self.diffaug and not skip_augment:
             x = diff_augment(x, self.make_rng("diffaug"))
 
         channels = channel_table(self.channel_multiplier)
@@ -173,4 +199,4 @@ class DStyleGANProgressive(nn.Module):
         for ls in range(log_pretrained, 2, -1):
             out = blocks[ls](out)
 
-        return _DFinal(channels[4], name="final")(out)
+        return _DFinal(channels[4], name="final")(out, stddev_split)

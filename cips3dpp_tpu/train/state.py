@@ -97,6 +97,13 @@ class TrainConfig:
     # into the backward, which pushes XLA into compression-remat copies at
     # the flagship config (docs/r5_logs/trace_dstep.log).
     d_seq: bool = False
+    # Concatenated fake/real decoder-D pass: ONE batch-(2n) forward with a
+    # per-sample sign-split of the separable logistic loss, per-half
+    # minibatch-stddev (discriminator stddev_split) and per-half diffaug
+    # keys. Fills the v5e 8-sublane tile that two batch-n passes each pad
+    # (measured: batch-4 d_step is SLOWER absolute than batch-8,
+    # docs/r5_logs/ab_dstep2.log). Takes precedence over d_seq.
+    d_cat: bool = False
 
 
 def _g_label_tree(params):

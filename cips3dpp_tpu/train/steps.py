@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 
 from ..core.camera import sample_cameras
+from ..models.diffaug import diff_augment
 from .losses import (
     d_logistic_loss,
     g_nonsaturating_loss,
@@ -207,8 +208,15 @@ def make_train_steps(
         # pushes XLA into compression-remat copies; see docs/r5_logs/
         # trace_dstep.log). Numerically exact, minibatch-stddev untouched
         # (each pass still sees the full batch).
-        d_seq = cfg.d_seq and gen_cfg.enable_decoder
-        if d_seq and d_regularize and r1_chunked is None:
+        # Concatenated fake/real pass (d_cat): one batch-(2n) D forward with
+        # sign-split logistic loss + per-half stddev/diffaug — exact vs the
+        # two-pass form (tests/test_train.py::test_d_cat_matches_fused) and
+        # fills the 8-sublane tile two batch-n passes each pad. Takes
+        # precedence over d_seq (both reroute R1 through the chunk scan).
+        d_cat = cfg.d_cat and gen_cfg.enable_decoder
+        d_seq = cfg.d_seq and gen_cfg.enable_decoder and not d_cat
+        d_split = d_cat or d_seq
+        if d_split and d_regularize and r1_chunked is None:
             # route R1 through the separate scan below (nc=1 == full batch)
             # so no decoder-D pass remains inside the fused loss_fn
             r1_chunked = real_imgs.shape[0]
@@ -250,7 +258,7 @@ def make_train_steps(
 
             # image D (update_D_decoder :104-134): lazy R1. Skipped entirely
             # in decoder-less (StyleSDF stage-1) mode (train_v10.py:226).
-            if gen_cfg.enable_decoder and not d_seq:
+            if gen_cfg.enable_decoder and not d_split:
                 fake_pred = dd(params_d, fake_rgb, k_a1)
                 real_pred = dd(params_d, real_imgs, k_a2)
                 d_gan = d_logistic_loss(real_pred, fake_pred)
@@ -287,6 +295,47 @@ def make_train_steps(
         (loss, metrics), (gd, gdr) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
         )(state.params_d, state.params_d_render)
+
+        if d_cat:
+
+            def cat_forward(p, fake, real, k_f, k_r):
+                xf = fake.astype(d_dt)
+                xr = real.astype(d_dt)
+                if dd_diffaug:
+                    # Per-half keys: same per-pass key layout as the fused
+                    # two-pass form (fake<-k_a1, real<-k_a2). The draw is the
+                    # raw-key diff_augment stream rather than flax's
+                    # path-folded make_rng stream, so with diffaug ON the
+                    # augmentations differ from the two-pass form sample-wise
+                    # (same distribution) — like the chunked-R1 key note.
+                    xf = diff_augment(xf, k_f)
+                    xr = diff_augment(xr, k_r)
+                x = jnp.concatenate([xf, xr], axis=0)
+                out = d_decoder.apply(
+                    p, x, alpha=alpha,
+                    stddev_split=fake.shape[0], skip_augment=True,
+                )
+                return out.astype(jnp.float32)
+
+            ddc = jax.checkpoint(cat_forward) if cfg.remat_d else cat_forward
+            bf = fake_rgb.shape[0]
+
+            def cat_gan_loss(p):
+                pred = ddc(p, fake_rgb, real_imgs, k_a1, k_a2)
+                l = (
+                    jax.nn.softplus(pred[:bf]).mean()
+                    + jax.nn.softplus(-pred[bf:]).mean()
+                )
+                return l, (pred[:bf].mean(), pred[bf:].mean())
+
+            (d_gan, (fake_mean, real_mean)), gan_g = jax.value_and_grad(
+                cat_gan_loss, has_aux=True
+            )(state.params_d)
+            gd = jax.tree.map(jnp.add, gd, gan_g)
+            loss = loss + d_gan
+            metrics["d_loss_gan_decoder"] = d_gan
+            metrics["d_logits_fake_decoder"] = fake_mean
+            metrics["d_logits_real_decoder"] = real_mean
 
         if d_seq:
             dds = (

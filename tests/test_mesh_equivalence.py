@@ -343,6 +343,34 @@ def test_d_step_d_seq_mesh_equivalence(prod_equiv_setup):
 
 
 @pytest.mark.slow
+def test_d_step_d_cat_mesh_equivalence(prod_equiv_setup):
+    """1-dev vs 8-dev for the d_cat variant (concatenated fake/real
+    decoder-D pass): the batch-(2n) concat axis must shard over 'data' and
+    the per-half minibatch-stddev slices must stay shard-consistent."""
+    import dataclasses
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    state, _, _, mesh, real, train_cfg, parts, tols = prod_equiv_setup
+    gen, d_dec, d_ren, gen_cfg, txs = parts
+    cfg_cat = dataclasses.replace(train_cfg, d_cat=True)
+    steps_1 = make_train_steps(gen, d_dec, d_ren, gen_cfg, cfg_cat, txs)
+    steps_8 = make_train_steps(gen, d_dec, d_ren, gen_cfg, cfg_cat, txs, mesh=mesh)
+
+    s1, m1 = steps_1[0](state, real, jax.random.PRNGKey(3), 0.5, d_regularize=True)
+    state_m = shard_pytree(mesh, state)
+    real_m = jax.device_put(real, NamedSharding(mesh, P("data", None, None, None)))
+    s8, m8 = steps_8[0](state_m, real_m, jax.random.PRNGKey(3), 0.5, d_regularize=True)
+
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=tols["metrics_rtol"], atol=1e-4,
+            err_msg=k,
+        )
+    assert _max_abs_diff(s1.params_d, s8.params_d) < tols["params"]
+    assert _max_abs_diff(s1.params_d_render, s8.params_d_render) < tols["params"]
+
+
+@pytest.mark.slow
 def test_g_step_2axis_mesh_equivalence(prod_equiv_setup):
     """g_step on the 2-axis (data x ray) mesh == single device: the batch
     shards over data=4 and the ray axis adds a second mesh dimension the

@@ -452,6 +452,121 @@ def test_d_seq_matches_fused(d_regularize):
     assert mismatched / total < 0.02, (mismatched, total)
 
 
+@pytest.mark.parametrize("d_regularize", [False, True])
+def test_d_cat_matches_fused(d_regularize):
+    """d_cat runs ONE concatenated batch-(2n) decoder-D pass with a
+    per-sample sign split of the separable logistic loss and per-half
+    minibatch-stddev; it must match the fused two-pass form exactly
+    (diffaug off — with aug on only the RNG stream differs)."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    gen = Generator(gen_cfg)
+    d_dec = DStyleGANProgressive(input_size=1024, channel_multiplier=1)
+    d_ren = DVolumeRenderProgressive(input_size=64)
+
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=gen_cfg.img_size)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    out = gen_cfg.img_size * 2 ** len(gen_cfg.decoder.upsample_list)
+
+    def g_init(k):
+        return gen.init(
+            {"params": k, "perturb": k, "noise": k},
+            zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+            near=cam.near, far=cam.far,
+        )
+
+    def d_init(k):
+        return d_dec.init(k, jnp.zeros((2, out, out, 3)))
+
+    def dr_init(k):
+        return d_ren.init(k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3)))
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, out, out, 3)) * 0.1
+    results = []
+    for d_cat in (False, True):
+        cfg_i = TrainConfig(
+            batch=4, gen_img_size=out, cam_img_size=gen_cfg.img_size,
+            data_img_size=out, d_cat=d_cat, d_r1_chunk=2,
+        )
+        state, txs = create_train_state(key, gen_cfg, cfg_i, d_init, dr_init, g_init)
+        d_step = make_train_steps(gen, d_dec, d_ren, gen_cfg, cfg_i, txs)[0]
+        s2, m = d_step(
+            state, real, jax.random.PRNGKey(3), 1.0, d_regularize=d_regularize
+        )
+        results.append((s2, m))
+    (s_fused, m_fused), (s_cat, m_cat) = results
+    for k in ("d_loss_gan_decoder", "d_logits_real_decoder",
+              "d_logits_fake_decoder", "d_loss_total"):
+        np.testing.assert_allclose(
+            float(m_fused[k]), float(m_cat[k]), rtol=1e-4, atol=1e-6
+        )
+    # same sign-flip caveat as the chunked-R1 test (Adam b1=0 first step)
+    lr_bound = 3.0 * 2e-3
+    total = mismatched = 0
+    for a, b in zip(jax.tree.leaves(s_fused.params_d),
+                    jax.tree.leaves(s_cat.params_d)):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        assert d.max() < lr_bound
+        mismatched += int((d > 1e-5).sum())
+        total += d.size
+    assert mismatched / total < 0.02, (mismatched, total)
+
+
+def test_d_cat_diffaug_runs_with_independent_halves():
+    """With diffaug ON, d_cat pre-augments each half with its own key; the
+    step must run and produce finite losses (exact RNG-stream parity with
+    the two-pass form is not claimed — see steps.py d_cat note)."""
+    gen_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    gen = Generator(gen_cfg)
+    d_dec = DStyleGANProgressive(
+        input_size=1024, channel_multiplier=1, diffaug=True
+    )
+    d_ren = DVolumeRenderProgressive(input_size=64)
+
+    key = jax.random.PRNGKey(0)
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2, img_size=gen_cfg.img_size)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    out = gen_cfg.img_size * 2 ** len(gen_cfg.decoder.upsample_list)
+
+    def g_init(k):
+        return gen.init(
+            {"params": k, "perturb": k, "noise": k},
+            zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+            near=cam.near, far=cam.far,
+        )
+
+    def d_init(k):
+        return d_dec.init(
+            {"params": k, "diffaug": k}, jnp.zeros((2, out, out, 3))
+        )
+
+    def dr_init(k):
+        return d_ren.init(k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3)))
+
+    real = jax.random.normal(jax.random.PRNGKey(2), (4, out, out, 3)) * 0.1
+    cfg_i = TrainConfig(
+        batch=4, gen_img_size=out, cam_img_size=gen_cfg.img_size,
+        data_img_size=out, d_cat=True, d_r1_chunk=2,
+    )
+    state, txs = create_train_state(key, gen_cfg, cfg_i, d_init, dr_init, g_init)
+    d_step = make_train_steps(gen, d_dec, d_ren, gen_cfg, cfg_i, txs)[0]
+    s2, m = d_step(state, real, jax.random.PRNGKey(3), 1.0, d_regularize=False)
+    for k, v in m.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
+def test_minibatch_stddev_split_matches_per_half():
+    """minibatch_stddev(split=k) == concat of per-half statistics."""
+    from cips3dpp_tpu.models.discriminator import minibatch_stddev
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 4, 4, 16))
+    got = minibatch_stddev(x, split=4)
+    want = jnp.concatenate(
+        [minibatch_stddev(x[:4]), minibatch_stddev(x[4:])], axis=0
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_prefetch_to_device_order_and_sharding():
     """prefetch_to_device preserves stream order/values, tolerates short
     streams, and lands batches on the data-sharded mesh layout the step

@@ -112,6 +112,8 @@ FLAGS = {
     "remat4": dict(d_seq=True, remat_d=True),
     "b8": dict(d_seq=True, remat_d=True, batch=8),
     "b8nr": dict(d_seq=True, remat_d=False, batch=8),
+    "d_cat": dict(d_cat=True),
+    "b8cat": dict(d_cat=True, remat_d=False, batch=8),
 }
 names = os.environ.get("AB_VARIANTS", "base,d_seq").split(",")
 # The lazy-R1 legs double the resident-executable count; at the flagship
