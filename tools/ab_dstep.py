@@ -114,6 +114,11 @@ FLAGS = {
     "b8nr": dict(d_seq=True, remat_d=False, batch=8),
     "d_cat": dict(d_cat=True),
     "b8cat": dict(d_cat=True, remat_d=False, batch=8),
+    # lazy-R1 chunk size under d_cat (AB_R1=1 to time the r1 legs):
+    # chunk=2 runs batch-2 grad-of-grad passes (double tile padding),
+    # chunk=4 runs ONE full-batch pass (more HBM, fewer passes)
+    "dcat_r1c2": dict(d_cat=True, d_r1_chunk=2),
+    "dcat_r1c4": dict(d_cat=True, d_r1_chunk=4),
 }
 names = os.environ.get("AB_VARIANTS", "base,d_seq").split(",")
 # The lazy-R1 legs double the resident-executable count; at the flagship
