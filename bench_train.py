@@ -88,6 +88,9 @@ def main():
                     help="chunked lazy-R1 grad accumulation (memory)")
     ap.add_argument("--remat-dec", action="store_true",
                     help="per-layer remat inside the G decoder")
+    ap.add_argument("--remat-renderer", action="store_true",
+                    help="remat the SIREN trunk in backward (the g_step "
+                    "trace is copy-dominated by its fp32 residuals)")
     ap.add_argument("--preset", default="r1024", choices=["r1024", "r64"],
                     help="r64 = small smoke config (CPU-feasible)")
     ap.add_argument("--per-step", action="store_true",
@@ -126,6 +129,10 @@ def main():
         if args.remat_dec:
             dec = dataclasses.replace(dec, remat=True)
         gen_cfg = dataclasses.replace(gen_cfg, decoder=dec)
+    if args.remat_renderer:
+        gen_cfg = dataclasses.replace(
+            gen_cfg,
+            renderer=dataclasses.replace(gen_cfg.renderer, remat=True))
     cfg = TrainConfig(
         batch=args.batch,
         remat_d=args.remat_d,
@@ -450,6 +457,7 @@ def main():
                 "d_seq": cfg.d_seq,
                 "d_cat": cfg.d_cat,
                 "fused_renderer_g": cfg.fused_renderer_g,
+                "remat_renderer": gen_cfg.renderer.remat,
                 "oom_fallback": oom_fallback,
                 "fused_renderer_d": not args.no_fused,
                 "peak_hbm_gb": round(peak, 2),

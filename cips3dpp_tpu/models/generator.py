@@ -38,6 +38,7 @@ class RendererConfig:
     view_dim: int = 3
     with_sdf: bool = True
     dtype: str = "float32"  # SIREN storage dtype; "bfloat16" for serving
+    remat: bool = False  # remat the SIREN trunk in backward (renderer.py)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,6 +170,7 @@ class Generator(nn.Module):
             view_dim=c.renderer.view_dim,
             with_sdf=c.renderer.with_sdf,
             dtype=c.renderer.dtype,
+            remat=c.renderer.remat,
         )
         self.decoder = Decoder(
             size_start=c.decoder.size_start,

@@ -31,12 +31,21 @@ class VolumeFeatureRenderer(nn.Module):
     with_sdf: bool = True
     # SIREN activation storage dtype; phase math stays fp32 (see FiLMSiren).
     dtype: str = "float32"
+    # Rematerialise the SIREN trunk in backward: training residuals at the
+    # flagship geometry are (B, 64^2, 24, 256) fp32 ≈ 400 MB per layer —
+    # the g_step trace (docs/r5_logs/trace_gstep.log) is copy/prefetch
+    # dominated by exactly these tensors, while recomputing the depth-2
+    # trunk costs ~0.1 ms of MXU time. jax.checkpoint is twice
+    # differentiable, so the eikonal pts-vjp and R1/path grad-of-grads
+    # still work.
+    remat: bool = False
 
     def setup(self):
         self.sigmoid_beta = self.param(
             "sigmoid_beta", lambda k, s: 0.1 * jnp.ones(s, jnp.float32), (1,)
         )
-        self.network = SirenGenerator(
+        net_cls = nn.remat(SirenGenerator) if self.remat else SirenGenerator
+        self.network = net_cls(
             depth=self.depth,
             width=self.hidden_dim,
             input_ch=self.input_dim,

@@ -555,6 +555,58 @@ def test_d_cat_diffaug_runs_with_independent_halves():
         assert np.isfinite(float(v)), (k, v)
 
 
+def test_renderer_remat_g_step_matches():
+    """renderer.remat recomputes the SIREN trunk in backward — the g_step
+    update (incl. the eikonal pts-vjp, a grad-of-grad through the remat)
+    must match the non-remat form to fp tolerance."""
+    import dataclasses as dc
+
+    base_cfg = tiny_config(img_size=8, upsample_list=(128,), n_samples=4)
+    out = base_cfg.img_size * 2 ** len(base_cfg.decoder.upsample_list)
+    results = []
+    for remat in (False, True):
+        gen_cfg = dc.replace(
+            base_cfg, renderer=dc.replace(base_cfg.renderer, remat=remat)
+        )
+        gen = Generator(gen_cfg)
+        d_dec = DStyleGANProgressive(input_size=1024, channel_multiplier=1)
+        d_ren = DVolumeRenderProgressive(input_size=64)
+        key = jax.random.PRNGKey(0)
+        cam = sample_cameras(jax.random.PRNGKey(1), batch=2,
+                             img_size=gen_cfg.img_size)
+        zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+        cfg_i = TrainConfig(
+            batch=2, gen_img_size=out, cam_img_size=gen_cfg.img_size,
+            data_img_size=out, eikonal_reg=True, lambda_eikonal=0.1,
+        )
+        state, txs = create_train_state(
+            key, gen_cfg, cfg_i,
+            lambda k: d_dec.init(k, jnp.zeros((2, out, out, 3))),
+            lambda k: d_ren.init(
+                k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3))
+            ),
+            lambda k: gen.init(
+                {"params": k, "perturb": k, "noise": k},
+                zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+                near=cam.near, far=cam.far,
+            ),
+        )
+        g_step = make_train_steps(gen, d_dec, d_ren, gen_cfg, cfg_i, txs)[1]
+        s2, m = g_step(state, jax.random.PRNGKey(7), 1.0)
+        results.append((s2, m))
+    (s_base, m_base), (s_remat, m_remat) = results
+    for k in m_base:
+        np.testing.assert_allclose(
+            float(m_base[k]), float(m_remat[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
+    for a, b in zip(jax.tree.leaves(s_base.params_g),
+                    jax.tree.leaves(s_remat.params_g)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_minibatch_stddev_split_matches_per_half():
     """minibatch_stddev(split=k) == concat of per-half statistics."""
     from cips3dpp_tpu.models.discriminator import minibatch_stddev

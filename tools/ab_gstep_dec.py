@@ -86,12 +86,35 @@ rngs = jax.random.split(jax.random.PRNGKey(42), 4096)
 
 variants = {}
 names = os.environ.get("AB_VARIANTS", "dec_fp32,dec_bf16").split(",")
-DTYPES = {"dec_fp32": "float32", "dec_bf16": "bfloat16"}
+
+
+def _variant_cfg(name):
+    # dec_*: decoder compute dtype (round-5 dtype A/B).
+    # rr_*: renderer SIREN-trunk remat on top of the shipped bf16 decoder
+    #       (the g_step trace is copy-dominated by the trunk's fp32
+    #       residuals; recompute is ~free at depth 2).
+    if name in ("dec_fp32", "dec_bf16"):
+        dt = {"dec_fp32": "float32", "dec_bf16": "bfloat16"}[name]
+        return dataclasses.replace(
+            base_cfg,
+            decoder=dataclasses.replace(base_cfg.decoder, dtype=dt),
+        )
+    if name in ("rr_off", "rr_on"):
+        cfg_i = dataclasses.replace(
+            base_cfg,
+            decoder=dataclasses.replace(base_cfg.decoder, dtype="bfloat16"),
+        )
+        return dataclasses.replace(
+            cfg_i,
+            renderer=dataclasses.replace(
+                cfg_i.renderer, remat=(name == "rr_on")
+            ),
+        )
+    raise SystemExit(f"unknown variant {name}")
+
+
 for name in names:
-    gen_cfg = dataclasses.replace(
-        base_cfg,
-        decoder=dataclasses.replace(base_cfg.decoder, dtype=DTYPES[name]),
-    )
+    gen_cfg = _variant_cfg(name)
     generator = Generator(gen_cfg)
     _, g_step, path_step, _ = make_train_steps(
         generator, d_decoder, d_render, gen_cfg, cfg,
