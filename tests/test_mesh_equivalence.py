@@ -475,3 +475,65 @@ def test_g_step_dec_bf16_mesh_equivalence():
     # measured bf16 floor on this graph: 0.028 (lr=1.0 SGD turns the grad
     # delta into the param delta verbatim); a sharding bug would be O(grad)
     assert _max_abs_diff(s1.params_g, s8.params_g) < 5e-2
+
+
+def test_g_step_renderer_bf16_mesh_equivalence():
+    """1-dev vs 8-dev g_step with bf16 SIREN storage on top of the bf16
+    decoder — the round-5 rd_bf16 A/B candidate (tools/ab_gstep_dec.py).
+    FiLMSiren keeps the phase math fp32 (models/siren.py); only matmul
+    inputs/activation storage round to bf16, so the bound is the same
+    documented bf16 floor as the decoder variant."""
+    import dataclasses
+    import optax
+
+    gen_cfg = GeneratorConfig(
+        renderer=RendererConfig(n_layers=2, hidden_dim=32, dtype="bfloat16"),
+        decoder=DecoderConfig(
+            size_end=32, upsample_list=(16,), style_dim=64,
+            mapping_n_layers=2, dtype="bfloat16",
+        ),
+        img_size=8,
+        n_samples=4,
+    )
+    train_cfg = TrainConfig(batch=8)
+    gen = Generator(gen_cfg)
+    out_size = gen_cfg.out_size
+    d_dec = DStyleGANProgressive(input_size=out_size, channel_multiplier=1)
+    d_ren = DVolumeRenderProgressive(input_size=gen_cfg.img_size)
+
+    cam = sample_cameras(jax.random.PRNGKey(1), batch=2,
+                         img_size=gen_cfg.img_size)
+    zs = (jnp.zeros((2, 256)), jnp.zeros((2, 256)))
+    state, _ = create_train_state(
+        jax.random.PRNGKey(0),
+        gen_cfg,
+        train_cfg,
+        lambda k: d_dec.init(k, jnp.zeros((2, out_size, out_size, 3))),
+        lambda k: d_ren.init(
+            k, jnp.zeros((2, gen_cfg.img_size, gen_cfg.img_size, 3))
+        ),
+        lambda k: gen.init(
+            {"params": k, "perturb": k, "noise": k},
+            zs=zs, cam_poses=cam.extrinsics, focals=cam.focal,
+            near=cam.near, far=cam.far,
+        ),
+    )
+    txs = (optax.sgd(1.0), optax.sgd(1.0), optax.sgd(1.0))
+    state = state.replace(
+        opt_g=txs[0].init(state.params_g),
+        opt_d=txs[1].init(state.params_d),
+        opt_d_render=txs[2].init(state.params_d_render),
+    )
+    steps_1 = make_train_steps(gen, d_dec, d_ren, gen_cfg, train_cfg, txs)
+    mesh = make_mesh(8)
+    steps_8 = make_train_steps(
+        gen, d_dec, d_ren, gen_cfg, train_cfg, txs, mesh=mesh
+    )
+
+    s1, m1 = steps_1[1](state, jax.random.PRNGKey(4), 0.5)
+    s8, m8 = steps_8[1](shard_pytree(mesh, state), jax.random.PRNGKey(4), 0.5)
+    for k in m1:
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=2e-3, atol=1e-4, err_msg=k
+        )
+    assert _max_abs_diff(s1.params_g, s8.params_g) < 5e-2

@@ -110,6 +110,26 @@ def _variant_cfg(name):
                 cfg_i.renderer, remat=(name == "rr_on")
             ),
         )
+    if name in ("rd_fp32", "rd_bf16"):
+        # Renderer SIREN storage dtype on top of the shipped bf16 decoder.
+        # Serving already runs the SIREN with bf16 matmul inputs (phase math
+        # fp32, models/siren.py FiLMSiren); training never A/B'd it. The
+        # g_step trace (trace_gstep.log) is copy-dominated by the SIREN's
+        # fp32 residuals (f32[4,4096,24,256] ~ 400 MB each) — bf16 storage
+        # halves the matmul-input residual traffic and doubles the MXU rate
+        # of every SIREN matmul, with no recompute (unlike rr_on, which
+        # lost). The fp32 phase residual (for cos in backward) remains.
+        cfg_i = dataclasses.replace(
+            base_cfg,
+            decoder=dataclasses.replace(base_cfg.decoder, dtype="bfloat16"),
+        )
+        return dataclasses.replace(
+            cfg_i,
+            renderer=dataclasses.replace(
+                cfg_i.renderer,
+                dtype={"rd_fp32": "float32", "rd_bf16": "bfloat16"}[name],
+            ),
+        )
     raise SystemExit(f"unknown variant {name}")
 
 
